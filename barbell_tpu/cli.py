@@ -1,0 +1,212 @@
+"""Command-line interface: annotate / filter / trim / inspect / kit.
+
+Flag names and defaults mirror the reference CLI (`bin/main.rs:61-264`)
+so reference users can switch with their existing invocations, plus
+TPU-specific knobs (``--backend``, ``--batch-size``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from .models.records import BarcodeType
+from .stages.annotate import (
+    AnnotateConfig,
+    annotate_with_files,
+    annotate_with_kit,
+)
+from .stages.filter import filter_from_text_files
+from .stages.inspect import inspect
+from .stages.kit import KitRunConfig, demux_using_kit
+from .stages.trim import LabelConfig, trim_matches
+
+BANNER = r"""
+    barbell-tpu — TPU-native pattern-aware Nanopore demultiplexing
+    [===]------------------------------------------[===]
+"""
+
+
+def _add_backend_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--backend",
+        choices=["auto", "jax", "oracle"],
+        default="auto",
+        help="Demux engine: batched device pipeline (jax) or scalar NumPy oracle",
+    )
+    p.add_argument(
+        "--batch-size", type=int, default=512, help="Reads per device batch"
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="barbell-tpu",
+        description="TPU-native pattern-aware Nanopore barcode demultiplexing",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    # ------------------------------------------------------------- annotate
+    p = sub.add_parser("annotate", help="Annotate FASTQ files with barcode information")
+    p.add_argument("-i", "--input", nargs="+", required=True, help="Read FASTQ file(s)")
+    p.add_argument("-t", "--threads", type=int, default=10)
+    p.add_argument("-o", "--output", default="output.tsv")
+    p.add_argument("-q", "--queries", nargs="+", help="Query FASTA file(s)")
+    p.add_argument(
+        "-b",
+        "--barcode-types",
+        nargs="+",
+        default=["Ftag"],
+        help="Barcode types matching --queries order (Ftag or Rtag)",
+    )
+    p.add_argument("--kit", help="Kit name (e.g. SQK-RBK114-24)")
+    p.add_argument("--flank-max-errors", type=int, default=None)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--min-score", type=float, default=0.2)
+    p.add_argument("--min-score-diff", type=float, default=0.1)
+    p.add_argument("--use-extended", action="store_true")
+    p.add_argument("--alpha", type=float, default=0.4)
+    _add_backend_args(p)
+
+    # --------------------------------------------------------------- filter
+    p = sub.add_parser("filter", help="Filter annotation files based on pattern")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-f", "--file", nargs="+", required=True, help="Pattern file(s)")
+    p.add_argument("--dropped", help="Write dropped read annotations to this file")
+    p.add_argument("--verbose", action="store_true")
+
+    # ----------------------------------------------------------------- trim
+    p = sub.add_parser("trim", help="Trim and sort reads based on filtered annotations")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-r", "--reads", nargs="+", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--no-label", action="store_true")
+    p.add_argument("--no-orientation", action="store_true")
+    p.add_argument("--no-flanks", action="store_true")
+    p.add_argument("--sort-labels", action="store_true")
+    p.add_argument("--only-side", choices=["left", "right"])
+    p.add_argument("--failed-out")
+    p.add_argument("--skip-trim", action="store_true")
+    p.add_argument("--flip", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--gzip", action="store_true")
+
+    # -------------------------------------------------------------- inspect
+    p = sub.add_parser("inspect", help="View most common patterns in annotation")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-n", "--top-n", type=int, default=10)
+    p.add_argument("-o", "--read-pattern-out")
+    p.add_argument("-s", "--bucket-size", type=int, default=250)
+
+    # ------------------------------------------------------------------ kit
+    p = sub.add_parser("kit", help="Run a kit preset pipeline")
+    p.add_argument("-k", "--kit", required=True)
+    p.add_argument("-i", "--input", nargs="+", required=True)
+    p.add_argument("-t", "--threads", type=int, default=10)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--maximize", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--min-score", type=float, default=0.2)
+    p.add_argument("--min-score-diff", type=float, default=0.1)
+    p.add_argument("--flank-max-errors", type=int, default=None)
+    p.add_argument("--failed-out")
+    p.add_argument("--use-extended", action="store_true")
+    p.add_argument("--alpha", type=float, default=0.4)
+    p.add_argument("--gzip", action="store_true")
+    _add_backend_args(p)
+
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    print(BANNER)
+    args = build_parser().parse_args(argv)
+
+    if args.command == "annotate":
+        print("Starting annotation...")
+        config = AnnotateConfig(
+            max_flank_errors=args.flank_max_errors,
+            alpha=args.alpha,
+            n_threads=args.threads,
+            verbose=args.verbose,
+            min_score=args.min_score,
+            min_score_diff=args.min_score_diff,
+            use_extended=args.use_extended,
+            backend=args.backend,
+            batch_size=args.batch_size,
+        )
+        if args.kit:
+            annotate_with_kit(args.input, args.output, args.kit, config)
+        else:
+            if not args.queries:
+                print("Error: --queries is required unless --kit is provided")
+                return 1
+            try:
+                types = [BarcodeType(t) for t in args.barcode_types]
+            except ValueError as e:
+                print(f"Error during processing: {e}; use one of: Ftag, Rtag")
+                return 1
+            annotate_with_files(args.input, args.queries, types, args.output, config)
+        print("Annotation complete!")
+
+    elif args.command == "filter":
+        print("Starting filtering...")
+        filter_from_text_files(
+            args.input, args.file, args.output, args.dropped, args.verbose
+        )
+        print("Filtering successful!")
+
+    elif args.command == "trim":
+        print("Starting trimming...")
+        label_config = LabelConfig(
+            include_label=not args.no_label,
+            include_orientation=not args.no_orientation,
+            include_flank=not args.no_flanks,
+            sort_labels=args.sort_labels,
+            only_side=args.only_side,
+        )
+        trim_matches(
+            args.input,
+            args.reads,
+            args.output,
+            label_config=label_config,
+            failed_out=args.failed_out,
+            write_full_header=True,
+            skip_trim=args.skip_trim,
+            flip=args.flip,
+            verbose=args.verbose,
+            use_gzip=args.gzip,
+        )
+        print("Trimming complete!")
+
+    elif args.command == "inspect":
+        print("Inspecting...")
+        inspect(args.input, args.top_n, args.read_pattern_out, args.bucket_size)
+        print("Inspection complete!")
+
+    elif args.command == "kit":
+        config = KitRunConfig(
+            kit_name=args.kit,
+            output_folder=args.output,
+            threads=args.threads,
+            maximize=args.maximize,
+            verbose=args.verbose,
+            min_score=args.min_score,
+            min_score_diff=args.min_score_diff,
+            max_flank_errors=args.flank_max_errors,
+            failed_out=args.failed_out,
+            use_extended=args.use_extended,
+            alpha=args.alpha,
+            gzip=args.gzip,
+            backend=args.backend,
+            batch_size=args.batch_size,
+        )
+        demux_using_kit(args.input, config)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,168 @@
+"""Annotate stage: stream FASTQ reads through a demux engine to TSV.
+
+Engine selection: ``backend='jax'`` uses the batched device pipeline
+(TPU, or CPU-XLA in tests); ``backend='oracle'`` uses the scalar NumPy
+engine; ``'auto'`` prefers the device pipeline.  Each read's rows stay
+contiguous in the output — filter/inspect group by consecutive
+``read_id`` (reference `src/annotate/annotator.rs:103-119`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from ..models.barcodes import BarcodeGroup
+from ..models.demux import Demuxer
+from ..models.records import AnnotationWriter, BarcodeType
+from ..ops.edit_model import get_edit_cut_off
+from ..utils.fastx import iter_fastq_batches, split_fastq_header
+from ..utils.progress import ANNOTATE_METRICS, ProgressTracker
+
+
+@dataclass
+class AnnotateConfig:
+    max_flank_errors: Optional[int] = None
+    alpha: float = 0.4
+    n_threads: int = 10  # batch-parallel on device; kept for CLI parity
+    verbose: bool = False
+    min_score: float = 0.2
+    min_score_diff: float = 0.1
+    use_extended: bool = False
+    backend: str = "auto"  # 'auto' | 'jax' | 'oracle'
+    batch_size: int = 512
+
+
+def _apply_flank_threshold(groups: Sequence[BarcodeGroup], config: AnnotateConfig):
+    for group in groups:
+        if config.max_flank_errors is not None:
+            group.set_flank_threshold(config.max_flank_errors)
+        else:
+            k = get_edit_cut_off(group.get_effective_len())
+            print(f"Auto edit flank cut off: {k}")
+            group.set_flank_threshold(k)
+    return groups
+
+
+def _make_engine(groups: Sequence[BarcodeGroup], config: AnnotateConfig):
+    backend = config.backend
+    if backend == "auto":
+        try:
+            from ..models.pipeline import JaxDemuxEngine
+
+            return JaxDemuxEngine(
+                list(groups),
+                alpha=config.alpha,
+                min_score=config.min_score,
+                min_score_diff=config.min_score_diff,
+            )
+        except Exception as exc:  # pragma: no cover - fallback path
+            print(f"Device pipeline unavailable ({exc}); falling back to oracle engine")
+            backend = "oracle"
+    if backend == "jax":
+        from ..models.pipeline import JaxDemuxEngine
+
+        return JaxDemuxEngine(
+            list(groups),
+            alpha=config.alpha,
+            min_score=config.min_score,
+            min_score_diff=config.min_score_diff,
+        )
+    if backend == "oracle":
+        return _OracleEngine(groups, config)
+    raise ValueError(f"Unknown annotate backend: {backend!r}")
+
+
+class _OracleEngine:
+    """Batch adapter over the scalar Demuxer."""
+
+    def __init__(self, groups: Sequence[BarcodeGroup], config: AnnotateConfig):
+        self._demuxer = Demuxer(
+            alpha=config.alpha,
+            verbose=config.verbose,
+            min_score=config.min_score,
+            min_score_diff=config.min_score_diff,
+        )
+        for group in groups:
+            self._demuxer.add_query_group(group)
+
+    def demux_batch(self, read_ids: List[str], seqs: List[bytes]):
+        return [
+            self._demuxer.demux(read_id, seq) for read_id, seq in zip(read_ids, seqs)
+        ]
+
+
+def annotate(
+    read_files: Sequence[str],
+    out_file: str,
+    query_groups: Sequence[BarcodeGroup],
+    config: AnnotateConfig,
+) -> None:
+    for i, group in enumerate(query_groups):
+        print(f"{group.barcode_type.as_str()}: {i}")
+        group.display(5)
+
+    engine = _make_engine(query_groups, config)
+
+    log_dir = os.path.dirname(out_file) or "."
+    progress = ProgressTracker(
+        ANNOTATE_METRICS,
+        step="annotate" if config.verbose else None,
+        log_dir=log_dir if config.verbose else None,
+    )
+
+    with open(out_file, "w") as fh:
+        writer = AnnotationWriter(fh)
+        for batch in iter_fastq_batches(read_files, config.batch_size):
+            read_ids = [split_fastq_header(h)[0] for h, _s, _q in batch]
+            seqs = [s for _h, s, _q in batch]
+            per_read = engine.demux_batch(read_ids, seqs)
+            rows = []
+            found = 0
+            for matches in per_read:
+                if matches:
+                    found += 1
+                    rows.extend(matches)
+            writer.write_rows(rows)
+            progress.add(0, len(batch))
+            progress.add(1, found)
+            progress.add(2, len(batch) - found)
+            progress.refresh()
+        writer.finish()
+    progress.finish("records")
+
+
+def annotate_with_kit(
+    read_files: Sequence[str], out_file: str, kit: str, config: AnnotateConfig
+) -> None:
+    groups = BarcodeGroup.from_kit(kit, config.use_extended)
+    annotate(read_files, out_file, _apply_flank_threshold(groups, config), config)
+
+
+def annotate_with_files(
+    read_files: Sequence[str],
+    query_files: Sequence[str],
+    query_types: Sequence[BarcodeType],
+    out_file: str,
+    config: AnnotateConfig,
+) -> None:
+    if len(query_files) != len(query_types):
+        raise ValueError(
+            f"Expected the same number of query files and barcode types, got "
+            f"{len(query_files)} query file(s) and {len(query_types)} barcode type(s)"
+        )
+    groups = [
+        BarcodeGroup.from_fasta(path, qtype)
+        for path, qtype in zip(query_files, query_types)
+    ]
+    annotate(read_files, out_file, _apply_flank_threshold(groups, config), config)
+
+
+def annotate_with_groups(
+    read_files: Sequence[str],
+    out_file: str,
+    query_groups: Sequence[BarcodeGroup],
+    config: AnnotateConfig,
+) -> None:
+    annotate(read_files, out_file, _apply_flank_threshold(query_groups, config), config)

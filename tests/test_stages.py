@@ -1,0 +1,176 @@
+"""Filter/inspect stage tests and the end-to-end kit pipeline test."""
+
+import os
+
+import pytest
+
+from barbell_tpu.models.records import (
+    BarbellMatch,
+    BarcodeType,
+    Strand,
+    read_annotations,
+)
+from barbell_tpu.stages.filter import check_filter_pass, filter_annotations
+from barbell_tpu.stages.inspect import bucket_position, get_group_structure, inspect
+from barbell_tpu.stages.kit import KitRunConfig, demux_using_kit
+from barbell_tpu.stages.pattern import pattern_from_str
+from barbell_tpu.sim.simulate import create_testdata, default_barcodes
+
+
+def mk(read_id="r1", start=0, end=100, match_type=BarcodeType.Ftag, label="BC01",
+       strand=Strand.Fwd, read_len=500, rel=1):
+    return BarbellMatch(
+        read_id=read_id,
+        read_len=read_len,
+        rel_dist_to_end=rel,
+        read_start_bar=start,
+        read_end_bar=end,
+        read_start_flank=start,
+        read_end_flank=end,
+        bar_start=0,
+        bar_end=24,
+        match_type=match_type,
+        flank_cost=0,
+        barcode_cost=0,
+        label=label,
+        strand=strand,
+        cuts=None,
+    )
+
+
+def test_check_filter_pass_longest_pattern_wins():
+    patterns = [
+        pattern_from_str("Ftag[fw, *, @left(0..250), >>]"),
+        pattern_from_str("Ftag[fw, *, @left(0..250)]__Ftag[fw, *, @prev_left(0..400), >>2]"),
+    ]
+    group = [mk(start=0, end=90), mk(start=100, end=190)]
+    assert check_filter_pass(group, patterns)
+    # the longer pattern's cut (group 2) must have been applied, on row 1
+    assert group[1].cuts is not None
+    assert group[1].cuts[0][0].group_id == 2
+
+
+def test_check_filter_pass_requires_full_coverage():
+    patterns = [pattern_from_str("Ftag[fw, *, @left(0..250), >>]")]
+    # two annotations but the longest matching pattern has length 1 -> fail
+    group = [mk(start=0, end=90), mk(start=100, end=190)]
+    assert not check_filter_pass(group, patterns)
+
+
+def test_filter_file_roundtrip(tmp_path):
+    ann = tmp_path / "ann.tsv"
+    rows = [
+        mk(read_id="keep", start=0, end=90),
+        mk(read_id="drop1", start=300, end=390, rel=300),
+        mk(read_id="drop2", start=0, end=90),
+        mk(read_id="drop2", start=100, end=190),
+    ]
+    with open(ann, "w") as fh:
+        from barbell_tpu.models.records import AnnotationWriter
+
+        w = AnnotationWriter(fh)
+        w.write_rows(rows)
+    out = tmp_path / "filtered.tsv"
+    dropped = tmp_path / "dropped.tsv"
+    filter_annotations(
+        str(ann),
+        str(out),
+        [pattern_from_str("Ftag[fw, *, @left(0..250), >>]")],
+        str(dropped),
+    )
+    kept = list(read_annotations(str(out)))
+    assert [r.read_id for r in kept] == ["keep"]
+    assert kept[0].cuts is not None  # cut was assigned
+    dropped_rows = list(read_annotations(str(dropped)))
+    assert {r.read_id for r in dropped_rows} == {"drop1", "drop2"}
+
+
+def test_bucket_position():
+    assert bucket_position(0, 250) == 0
+    assert bucket_position(1, 250) == 0
+    assert bucket_position(250, 250) == 0
+    assert bucket_position(251, 250) == 250
+    assert bucket_position(500, 250) == 250
+    assert bucket_position(501, 250) == 500
+
+
+def test_group_structure_left_then_prev():
+    group = [
+        mk(start=5, end=95, rel=5),
+        mk(start=120, end=210, rel=120),
+    ]
+    s = get_group_structure(group, 250)
+    assert s == "Ftag[fw, *, @left(0..250)]__Ftag[fw, *, @prev_left(0..250)]"
+
+
+def test_group_structure_right_end():
+    group = [mk(start=420, end=495, read_len=500, rel=-5)]
+    s = get_group_structure(group, 250)
+    assert s.startswith("Ftag[fw, *, @right(")
+
+
+def test_inspect_counts(tmp_path):
+    ann = tmp_path / "ann.tsv"
+    rows = [
+        mk(read_id="a", start=0, end=90),
+        mk(read_id="b", start=3, end=93),
+        mk(read_id="c", start=400, end=490, rel=-10),
+    ]
+    from barbell_tpu.models.records import AnnotationWriter
+
+    with open(ann, "w") as fh:
+        w = AnnotationWriter(fh)
+        w.write_rows(rows)
+    out = tmp_path / "per_read.tsv"
+    counts = inspect(str(ann), top_n=5, read_pattern_out=str(out))
+    assert sum(counts.values()) == 3
+    assert len(counts) == 2
+    assert len(open(out).readlines()) == 3
+
+
+@pytest.mark.slow
+def test_kit_pipeline_end_to_end(tmp_path):
+    """Full annotate->inspect->filter->trim run on simulated rapid reads."""
+    sim_dir = tmp_path / "sim"
+    barcodes = default_barcodes(8)
+    # rc_frac=0: the single-label kit presets (like the reference's) only
+    # accept fw@left constructs — rapid-kit reads always start with the
+    # adapter in forward orientation.
+    create_testdata(
+        6, str(sim_dir), barcodes=barcodes, rc_frac=0.0, seed=3, groups=("GroupII",)
+    )
+    out_dir = tmp_path / "out"
+    config = KitRunConfig(
+        kit_name="SQK-RBK110-96",
+        output_folder=str(out_dir),
+        backend="oracle",
+        batch_size=16,
+    )
+    demux_using_kit([str(sim_dir / "GroupII.fastq")], config)
+
+    assert (out_dir / "annotation.tsv").exists()
+    assert (out_dir / "pattern_per_read.tsv").exists()
+    assert (out_dir / "filtered.tsv").exists()
+
+    truth = dict(
+        line.strip().split("\t")
+        for line in open(sim_dir / "GroupII_truth.txt")
+    )
+    # Check per-label FASTQ outputs contain the right reads.
+    assigned = {}
+    for fname in os.listdir(out_dir):
+        if fname.endswith(".trimmed.fastq"):
+            label = fname[: -len(".trimmed.fastq")]
+            with open(out_dir / fname) as fh:
+                lines = fh.read().splitlines()
+            for i in range(0, len(lines), 4):
+                read_id = lines[i][1:].split()[0]
+                # strip _N split suffixes
+                assigned[read_id] = label
+
+    correct = sum(
+        1 for read_id, label in assigned.items() if truth.get(read_id) == label
+    )
+    # Clean GroupII reads must be overwhelmingly recovered and correct.
+    assert len(assigned) >= 5
+    assert correct == len(assigned)
