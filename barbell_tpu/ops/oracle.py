@@ -12,12 +12,16 @@ consistently across oracle and kernels):
 * **Semiglobal search**: the pattern must be fully aligned, the text
   match may start/end anywhere.  Unit costs (sub/ins/del = 1), IUPAC
   masks intersect => match (cost 0).
+* **Integer cost domain**: all DP runs in int32 with costs scaled by
+  ``COST_SCALE`` (2560).  A unit edit costs 2560; the fractional
+  overhang cost ``alpha`` quantizes to ``round(alpha * 2560)`` (exact
+  for the default 0.4 -> 1024).  This makes every valley/traceback
+  comparison exact on both CPU and TPU — no float-tie hazards.
 * **Overhang** (flank search only): pattern bases that extend past the
-  *text* ends cost ``alpha`` each instead of 1 (CLI ``--alpha``,
-  default 0.4).  Implemented as: column-0 vertical steps cost alpha,
-  column-n vertical steps cost alpha.  Costs are tracked in float;
-  a match is accepted iff ``cost <= k + 1e-6``; the reported integer
-  cost is ``floor(cost + 0.5)``.
+  *text* ends cost ``alpha`` each instead of 1 (CLI ``--alpha``).
+  Implemented as: column-0 vertical steps cost alpha, column-n vertical
+  steps cost alpha.  A match is accepted iff ``cost <= k`` (scaled);
+  the reported integer cost rounds half-up.
 * **Match enumeration**: one match per cost valley over end positions:
   report end ``j`` iff ``ends[j] <= k`` and ``ends[j] < ends[j+1]``
   and ``ends[j] <= ends[j-1]`` (out-of-range neighbours = +inf), i.e.
@@ -44,7 +48,31 @@ OP_X = 1  # substitute (consumes pattern + text, cost 1)
 OP_U = 2  # pattern-consuming gap / overhang (cost 1, or alpha at text ends)
 OP_L = 3  # text-consuming gap (cost 1)
 
-_EPS = 1e-6
+# Scaled integer cost domain: one unit edit = COST_SCALE.
+COST_SCALE = 2560
+BIG = np.int32(2**30)
+
+
+def scale_alpha(alpha: Optional[float]) -> Optional[int]:
+    """Quantize the overhang cost to the integer domain."""
+    if alpha is None:
+        return None
+    return int(round(float(alpha) * COST_SCALE))
+
+
+def effective_alpha(alpha: float) -> float:
+    """The alpha actually used after quantization."""
+    return scale_alpha(alpha) / COST_SCALE
+
+
+def scale_k(k: float) -> int:
+    """Scale an edit threshold into the integer domain."""
+    return int(round(float(k) * COST_SCALE))
+
+
+def cost_to_int(scaled: int) -> int:
+    """Reported integer cost: round half up."""
+    return int((int(scaled) + COST_SCALE // 2) // COST_SCALE)
 
 
 @dataclass
@@ -55,20 +83,25 @@ class Alignment:
     (for Rc searches, the caller maps them with :func:`rc_span_to_fwd`).
     ``path`` holds one (pattern_pos, text_pos) pair per alignment column
     — the column's start coordinates.  ``ops`` holds one op code per
-    column.  Both run in pattern order.
+    column.  Both run in pattern order.  ``cost`` is in the scaled
+    integer domain.
     """
 
     text_start: int
     text_end: int
-    cost: float
+    cost: int  # scaled by COST_SCALE
     strand: Strand
     path: np.ndarray  # [n_cols, 2] int32
     ops: np.ndarray  # [n_cols] int8
     pattern_idx: int = 0
 
     @property
+    def cost_units(self) -> float:
+        return self.cost / COST_SCALE
+
+    @property
     def cost_int(self) -> int:
-        return int(np.floor(self.cost + 0.5))
+        return cost_to_int(self.cost)
 
 
 def dp_table(
@@ -76,53 +109,55 @@ def dp_table(
     text_masks: np.ndarray,
     alpha: Optional[float] = None,
 ) -> np.ndarray:
-    """Full semiglobal DP cost table C[(m+1), (n+1)] (float32).
+    """Full semiglobal DP cost table C[(m+1), (n+1)] (int32, scaled).
 
-    C[i][j] = min cost of aligning pattern[:i] against some text
-    suffix-window ending at j, with free start anywhere in the text.
+    C[i][j] = min scaled cost of aligning pattern[:i] against some text
+    window ending at j, with free start anywhere in the text.
     """
     m = len(pattern_masks)
     n = len(text_masks)
-    gap_edge = 1.0 if alpha is None else float(alpha)
+    a = scale_alpha(alpha)
+    gap_edge = COST_SCALE if a is None else a
+    unit = COST_SCALE
 
     eq = (pattern_masks[:, None] & text_masks[None, :]) != 0  # [m, n]
-    sub = 1.0 - eq.astype(np.float32)  # [m, n]
+    sub = np.where(eq, 0, unit).astype(np.int64)  # [m, n]
 
-    C = np.zeros((m + 1, n + 1), dtype=np.float32)
-    C[1:, 0] = gap_edge * np.arange(1, m + 1, dtype=np.float32)
+    C = np.zeros((m + 1, n + 1), dtype=np.int64)
+    C[1:, 0] = gap_edge * np.arange(1, m + 1, dtype=np.int64)
 
-    jj = np.arange(n, dtype=np.float32)
-    vert = np.ones(n, dtype=np.float32)
-    if alpha is not None and n > 0:
-        vert[n - 1] = alpha  # vertical step in the last column = right overhang
+    jj = np.arange(n, dtype=np.int64)
+    vert = np.full(n, unit, dtype=np.int64)
+    if a is not None and n > 0:
+        vert[n - 1] = a  # vertical step in the last column = right overhang
     for i in range(1, m + 1):
         prev = C[i - 1]
         # candidates without the horizontal (text-gap) transition
         v = np.minimum(prev[:-1] + sub[i - 1], prev[1:] + vert)
-        # horizontal closure: C[i][j] = min(v[j'], j'<=j) + (j - j'), plus
-        # reaching from the j=0 boundary cell.
-        u = np.minimum(v, C[i, 0] + 1.0 + jj)  # seed with boundary cell
-        u = u - jj
+        # horizontal closure: C[i][j] = min_{j'<=j} (w[j'] + unit*(j-j')),
+        # seeded from the j=0 boundary cell.
+        u = np.minimum(v, C[i, 0] + unit * (jj + 1))
+        u = u - unit * jj
         np.minimum.accumulate(u, out=u)
-        C[i, 1:] = u + jj
-    return C
+        C[i, 1:] = u + unit * jj
+    return C.astype(np.int32)
 
 
 def end_costs(C: np.ndarray) -> np.ndarray:
-    """Best cost for a match ending at each text position j (0..n)."""
+    """Best scaled cost for a match ending at each text position j."""
     return C[-1]
 
 
-def find_valleys(ends: np.ndarray, k: float) -> List[int]:
+def find_valleys(ends: np.ndarray, k_scaled: int) -> List[int]:
     """End positions that are plateau-valley minima with cost <= k."""
     n = len(ends) - 1
     out = []
     for j in range(n + 1):
-        if ends[j] > k + _EPS:
+        if ends[j] > k_scaled:
             continue
-        nxt = ends[j + 1] if j < n else np.inf
-        prv = ends[j - 1] if j > 0 else np.inf
-        if ends[j] < nxt - 1e-9 and ends[j] <= prv + 1e-9:
+        nxt = ends[j + 1] if j < n else BIG
+        prv = ends[j - 1] if j > 0 else BIG
+        if ends[j] < nxt and ends[j] <= prv:
             out.append(j)
     return out
 
@@ -137,24 +172,25 @@ def traceback(
     """Walk back from cell (m, j_end); returns (text_start, path, ops)."""
     m = len(pattern_masks)
     n = len(text_masks)
+    a = scale_alpha(alpha)
+    unit = COST_SCALE
     i, j = m, j_end
     cols: List[Tuple[int, int]] = []
     ops: List[int] = []
     while i > 0:
-        here = C[i, j]
-        if i > 0 and j > 0:
+        here = int(C[i, j])
+        if j > 0:
             is_eq = (pattern_masks[i - 1] & text_masks[j - 1]) != 0
-            diag = C[i - 1, j - 1] + (0.0 if is_eq else 1.0)
-            if abs(here - diag) <= _EPS:
+            diag = int(C[i - 1, j - 1]) + (0 if is_eq else unit)
+            if here == diag:
                 i, j = i - 1, j - 1
                 cols.append((i, j))
                 ops.append(OP_M if is_eq else OP_X)
                 continue
-        vcost = 1.0
-        if alpha is not None and (j == 0 or j == n):
-            vcost = alpha
-        up = C[i - 1, j] + vcost
-        if abs(here - up) <= _EPS:
+        vcost = unit
+        if a is not None and (j == 0 or j == n):
+            vcost = a
+        if here == int(C[i - 1, j]) + vcost:
             i = i - 1
             cols.append((i, j))
             ops.append(OP_U)
@@ -174,12 +210,14 @@ def traceback(
     )
 
 
-def op_cost(op: int, j: int, n: int, alpha: Optional[float]) -> float:
+def op_cost(op: int, j: int, n: int, alpha: Optional[float]) -> int:
+    """Scaled cost of one alignment column."""
     if op == OP_M:
-        return 0.0
-    if op == OP_U and alpha is not None and (j == 0 or j == n):
-        return float(alpha)
-    return 1.0
+        return 0
+    a = scale_alpha(alpha)
+    if op == OP_U and a is not None and (j == 0 or j == n):
+        return a
+    return COST_SCALE
 
 
 def search(
@@ -189,22 +227,23 @@ def search(
     alpha: Optional[float] = None,
     strand: Strand = Strand.Fwd,
 ) -> List[Alignment]:
-    """All valley matches of pattern in text with cost <= k, by end asc."""
+    """All valley matches of pattern in text with cost <= k, by end asc.
+
+    ``k`` is in edit units (scaled internally).
+    """
     n = len(text_masks)
     if n == 0:
         return []
     C = dp_table(pattern_masks, text_masks, alpha)
     ends = end_costs(C)
     out = []
-    for j in find_valleys(ends, k):
+    for j in find_valleys(ends, scale_k(k)):
         text_start, path, ops = traceback(C, pattern_masks, text_masks, j, alpha)
-        # text_end: one past the last text-consuming column.
-        text_end = j
         out.append(
             Alignment(
                 text_start=text_start,
-                text_end=text_end,
-                cost=float(ends[j]),
+                text_end=j,
+                cost=int(ends[j]),
                 strand=strand,
                 path=path,
                 ops=ops,
@@ -230,7 +269,7 @@ def best_match_per_pattern(
         if not matches:
             out.append(None)
             continue
-        best = min(matches, key=lambda a: (a.cost, a.text_end))
+        best = min(matches, key=lambda aln: (aln.cost, aln.text_end))
         best.pattern_idx = idx
         out.append(best)
     return out
@@ -271,7 +310,7 @@ def map_pattern_interval(
     """((pat_start, pat_end), (text_start, text_end), sub_cost) for the
     pattern interval [p_start, p_end) — exclusive end, matching the
     reference's `map_pat_to_text_with_cost` (`src/annotate/cigar_parse.rs:6-45`).
-    Sub-cost counts every non-match column as 1.
+    Sub-cost counts every non-match column as 1 (unscaled edit units).
     """
     in_range = (aln.path[:, 0] >= p_start) & (aln.path[:, 0] < p_end)
     idx = np.nonzero(in_range)[0]

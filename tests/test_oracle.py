@@ -31,7 +31,7 @@ def test_exact_match():
 def test_single_substitution():
     matches = search_bytes(b"AAAACCCC", b"TTTTAAAACGCCTTTT", 1)
     assert len(matches) == 1
-    assert matches[0].cost == 1
+    assert matches[0].cost_units == 1
 
 
 def test_iupac_pattern():
@@ -104,8 +104,8 @@ def test_overhang_alpha_cheaper_than_unit():
     t = b"CCCCGGGGGGGG"
     no_overhang = min(search_bytes(p, t, 9), key=lambda a: a.cost)
     with_overhang = min(search_bytes(p, t, 9, alpha=0.4), key=lambda a: a.cost)
-    assert no_overhang.cost == pytest.approx(5.0)
-    assert with_overhang.cost == pytest.approx(5 * 0.4)
+    assert no_overhang.cost_units == pytest.approx(5.0)
+    assert with_overhang.cost_units == pytest.approx(5 * 0.4)
     assert with_overhang.cost_int == 2
 
 
@@ -113,7 +113,7 @@ def test_overhang_right_edge():
     p = b"CCCCAAAAA"
     t = b"GGGGGGGGCCCC"
     m = min(search_bytes(p, t, 9, alpha=0.4), key=lambda a: a.cost)
-    assert m.cost == pytest.approx(5 * 0.4)
+    assert m.cost_units == pytest.approx(5 * 0.4)
     assert m.text_end == len(t)
 
 
@@ -163,7 +163,7 @@ def test_dp_matches_bruteforce_random():
             for j in range(1, n + 1):
                 sub = 0 if (pat[i - 1] & txt[j - 1]) else 1
                 B[i, j] = min(B[i - 1, j - 1] + sub, B[i - 1, j] + 1, B[i, j - 1] + 1)
-        assert np.allclose(C, B), (pat, txt)
+        assert np.allclose(C, B * oracle.COST_SCALE), (pat, txt)
 
 
 def test_traceback_cost_consistent():
