@@ -88,13 +88,45 @@ class Demuxer:
     # ------------------------------------------------------------------
 
     def _flank_matches(self, group, text, text_rc, flank_k):
-        fwd = oracle.search(
-            group.flank_masks, text, flank_k, alpha=self.alpha, strand=Strand.Fwd
-        )
-        rc = oracle.search(
-            group.flank_masks, text_rc, flank_k, alpha=self.alpha, strand=Strand.Rc
-        )
+        fwd = self._flank_search_one_strand(group, text, flank_k, Strand.Fwd)
+        rc = self._flank_search_one_strand(group, text_rc, flank_k, Strand.Rc)
         return fwd + rc
+
+    def _flank_search_one_strand(self, group, text, flank_k, strand):
+        """Valley matches with windowed tracebacks (canonical convention:
+        the traceback runs on the (m+k+1)-wide window ending at the
+        match end, exactly as the device pipeline computes it)."""
+        flank = group.flank_masks
+        m = len(flank)
+        n = len(text)
+        C_full = oracle.dp_table(flank, text, self.alpha)
+        ends = oracle.end_costs(C_full)
+        span = oracle.flank_window_span(m, int(flank_k))
+        out = []
+        for j in oracle.find_valleys(ends, oracle.scale_k(flank_k)):
+            s = max(0, j - span)
+            window = text[s:j]
+            w_len = j - s
+            left_edge = s == 0
+            right_pos = w_len if j == n else -1
+            C = oracle.window_table(flank, window, left_edge, right_pos, self.alpha)
+            start_w, path, ops = oracle.window_traceback(
+                C, flank, window, w_len, left_edge, right_pos, self.alpha
+            )
+            path = path.copy()
+            if len(path):
+                path[:, 1] += s  # window -> strand-space coordinates
+            out.append(
+                oracle.Alignment(
+                    text_start=s + start_w,
+                    text_end=j,
+                    cost=int(ends[j]),
+                    strand=strand,
+                    path=path,
+                    ops=ops,
+                )
+            )
+        return out
 
     def _fwd_span(self, fm: oracle.Alignment, n: int):
         if fm.strand is Strand.Fwd:

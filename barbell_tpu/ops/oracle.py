@@ -210,6 +210,106 @@ def traceback(
     )
 
 
+def window_table(
+    pattern_masks: np.ndarray,
+    window_masks: np.ndarray,
+    left_edge: bool,
+    right_pos: int,
+    alpha: Optional[float] = None,
+) -> np.ndarray:
+    """Semiglobal DP table over a bounded text window.
+
+    This is the *canonical* table used for flank-match tracebacks (the
+    device pipeline computes the identical table): column 0 is the
+    read's true start only when ``left_edge`` (overhang boundary
+    ``alpha*i``; otherwise a plain ``unit*i`` boundary, unreachable by
+    any within-threshold match because the window is sized to
+    ``m + k + 1``), and vertical steps into column ``right_pos`` (the
+    read's true end, or -1) cost alpha.
+    """
+    m = len(pattern_masks)
+    n = len(window_masks)
+    a = scale_alpha(alpha)
+    unit = COST_SCALE
+
+    eq = (pattern_masks[:, None] & window_masks[None, :]) != 0
+    sub = np.where(eq, 0, unit).astype(np.int64)
+
+    boundary_step = a if (a is not None and left_edge) else unit
+    C = np.zeros((m + 1, n + 1), dtype=np.int64)
+    C[1:, 0] = boundary_step * np.arange(1, m + 1, dtype=np.int64)
+
+    jj = np.arange(n, dtype=np.int64)
+    vert = np.full(n + 1, unit, dtype=np.int64)
+    if a is not None and 0 <= right_pos <= n:
+        vert[right_pos] = a
+    for i in range(1, m + 1):
+        prev = C[i - 1]
+        v = np.minimum(prev[:-1] + sub[i - 1], prev[1:] + vert[1:])
+        u = np.minimum(v, C[i, 0] + unit * (jj + 1))
+        u = u - unit * jj
+        np.minimum.accumulate(u, out=u)
+        C[i, 1:] = u + unit * jj
+    return C.astype(np.int32)
+
+
+def window_traceback(
+    C: np.ndarray,
+    pattern_masks: np.ndarray,
+    window_masks: np.ndarray,
+    j_end: int,
+    left_edge: bool,
+    right_pos: int,
+    alpha: Optional[float] = None,
+) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Traceback within a :func:`window_table` (same conventions)."""
+    m = len(pattern_masks)
+    a = scale_alpha(alpha)
+    unit = COST_SCALE
+    boundary_step = a if (a is not None and left_edge) else unit
+    i, j = m, j_end
+    cols: List[Tuple[int, int]] = []
+    ops: List[int] = []
+    while i > 0:
+        here = int(C[i, j])
+        if j > 0:
+            is_eq = (pattern_masks[i - 1] & window_masks[j - 1]) != 0
+            diag = int(C[i - 1, j - 1]) + (0 if is_eq else unit)
+            if here == diag:
+                i, j = i - 1, j - 1
+                cols.append((i, j))
+                ops.append(OP_M if is_eq else OP_X)
+                continue
+        if j == 0:
+            vcost = boundary_step
+        elif a is not None and j == right_pos:
+            vcost = a
+        else:
+            vcost = unit
+        if here == int(C[i - 1, j]) + vcost:
+            i = i - 1
+            cols.append((i, j))
+            ops.append(OP_U)
+            continue
+        assert j > 0, "traceback stuck"
+        j = j - 1
+        cols.append((i, j))
+        ops.append(OP_L)
+    cols.reverse()
+    ops.reverse()
+    return (
+        j,
+        np.array(cols, dtype=np.int32).reshape(-1, 2),
+        np.array(ops, dtype=np.int8),
+    )
+
+
+def flank_window_span(m: int, k_units: int) -> int:
+    """Window width for flank tracebacks: any match with cost <= k spans
+    at most m + k text positions (every extra text char is a unit gap)."""
+    return m + k_units + 1
+
+
 def op_cost(op: int, j: int, n: int, alpha: Optional[float]) -> int:
     """Scaled cost of one alignment column."""
     if op == OP_M:

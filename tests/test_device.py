@@ -1,0 +1,353 @@
+"""Device kernel conformance: every kernel must match the NumPy oracle
+exactly (integer cost domain), and the full batched engine must produce
+row-identical output to the scalar Demuxer."""
+
+import random
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from barbell_tpu.kits import database as db  # noqa: E402
+from barbell_tpu.models.barcodes import BarcodeGroup  # noqa: E402
+from barbell_tpu.models.demux import Demuxer  # noqa: E402
+from barbell_tpu.models.pipeline import JaxDemuxEngine  # noqa: E402
+from barbell_tpu.models.records import Strand  # noqa: E402
+from barbell_tpu.ops import device as dev  # noqa: E402
+from barbell_tpu.ops import oracle  # noqa: E402
+from barbell_tpu.ops.edit_model import get_edit_cut_off  # noqa: E402
+from barbell_tpu.ops.lodhi import lodhi_from_ops  # noqa: E402
+from barbell_tpu.utils import dna  # noqa: E402
+
+BASES = np.array([1, 2, 4, 8], dtype=np.uint8)
+
+
+def rand_masks(rng, n):
+    return BASES[rng.integers(0, 4, n)]
+
+
+# ---------------------------------------------------------------------------
+# flank_ends vs oracle dp_table
+# ---------------------------------------------------------------------------
+
+
+def test_flank_ends_matches_oracle():
+    rng = np.random.default_rng(0)
+    m, B, L = 12, 6, 64
+    pattern = rand_masks(rng, m)
+    lens = rng.integers(20, L + 1, B).astype(np.int32)
+    text = np.zeros((B, L), dtype=np.uint8)
+    for b in range(B):
+        text[b, : lens[b]] = rand_masks(rng, lens[b])
+
+    ends = np.asarray(
+        dev.flank_ends(
+            jnp.asarray(pattern),
+            jnp.asarray(text),
+            jnp.asarray(lens),
+            jnp.ones(B, dtype=bool),
+            np.int32(oracle.scale_alpha(0.4)),
+        )
+    )
+    for b in range(B):
+        C = oracle.dp_table(pattern, text[b, : lens[b]], alpha=0.4)
+        want = oracle.end_costs(C)
+        got = ends[b, : lens[b] + 1]
+        assert np.array_equal(got, want), b
+
+
+def test_flank_ends_no_left_edge():
+    # is_first=False removes the overhang start boundary: costs near the
+    # row start must not benefit from the cheap alpha prefix.
+    rng = np.random.default_rng(1)
+    pattern = rand_masks(rng, 8)
+    text = rand_masks(rng, 40)[None, :]
+    ends_first = np.asarray(
+        dev.flank_ends(
+            jnp.asarray(pattern),
+            jnp.asarray(text),
+            jnp.asarray(np.array([40], np.int32)),
+            jnp.asarray(np.array([True])),
+            np.int32(oracle.scale_alpha(0.4)),
+        )
+    )[0]
+    ends_mid = np.asarray(
+        dev.flank_ends(
+            jnp.asarray(pattern),
+            jnp.asarray(text),
+            jnp.asarray(np.array([40], np.int32)),
+            jnp.asarray(np.array([False])),
+            np.int32(oracle.scale_alpha(0.4)),
+        )
+    )[0]
+    assert (ends_mid >= ends_first).all()
+    # deep interior positions agree (no boundary influence)
+    assert np.array_equal(ends_mid[20:], ends_first[20:])
+
+
+# ---------------------------------------------------------------------------
+# find_hits vs oracle find_valleys
+# ---------------------------------------------------------------------------
+
+
+def test_find_hits_matches_oracle_valleys():
+    rng = np.random.default_rng(2)
+    pattern = rand_masks(rng, 6)
+    B, L = 4, 80
+    text = np.stack([rand_masks(rng, L) for _ in range(B)])
+    k = 2
+    ends = dev.flank_ends(
+        jnp.asarray(pattern),
+        jnp.asarray(text),
+        jnp.asarray(np.full(B, L, np.int32)),
+        jnp.ones(B, dtype=bool),
+        np.int32(oracle.COST_SCALE),  # alpha=1 == no special overhang
+    )
+    hits = dev.find_hits(
+        ends,
+        jnp.zeros(B, jnp.int32),
+        jnp.full(B, L, jnp.int32),
+        np.int32(oracle.scale_k(k)),
+        8,
+    )
+    for b in range(B):
+        C = oracle.dp_table(pattern, text[b], alpha=1.0)
+        want = set(oracle.find_valleys(oracle.end_costs(C), oracle.scale_k(k)))
+        got = {
+            int(p)
+            for p, v in zip(np.asarray(hits.pos[b]), np.asarray(hits.valid[b]))
+            if v
+        }
+        assert got == want
+        assert int(np.asarray(hits.count)[b]) == len(want)
+
+
+# ---------------------------------------------------------------------------
+# window_dp + traceback_reduce vs oracle window_table/traceback
+# ---------------------------------------------------------------------------
+
+
+def _window_case(rng, m=10, W=24, alpha=0.4, left_edge=True, right=False):
+    pattern = rand_masks(rng, m)
+    w_len = int(rng.integers(m - 2, W + 1))
+    window = np.zeros(W, dtype=np.uint8)
+    content = rand_masks(rng, w_len)
+    # plant a noisy copy of the pattern
+    pos = int(rng.integers(0, max(1, w_len - m)))
+    content[pos : pos + m] = pattern[: min(m, w_len - pos)]
+    window[:w_len] = content
+    right_pos = w_len if right else -1
+    return pattern, window, w_len, left_edge, right_pos, alpha
+
+
+def test_window_dp_matches_oracle_window_table():
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        pattern, window, w_len, left_edge, right_pos, alpha = _window_case(
+            rng,
+            left_edge=bool(trial % 2),
+            right=bool(trial % 3 == 0),
+        )
+        m, W = len(pattern), len(window)
+        wdp = dev.window_dp(
+            jnp.asarray(pattern[None, :]),
+            jnp.asarray(window[None, :]),
+            jnp.asarray(np.array([left_edge])),
+            jnp.asarray(np.array([right_pos], np.int32)),
+            np.int32(oracle.scale_alpha(alpha)),
+        )
+        got_ends = np.asarray(wdp.ends)[0, 0]
+        C = oracle.window_table(pattern, window[:w_len], left_edge, right_pos, alpha)
+        want_ends = C[-1]
+        assert np.array_equal(got_ends[: w_len + 1], want_ends), trial
+
+
+def test_traceback_reduce_matches_oracle_traceback():
+    rng = np.random.default_rng(4)
+    for trial in range(10):
+        pattern, window, w_len, left_edge, right_pos, alpha = _window_case(
+            rng, left_edge=bool(trial % 2), right=bool(trial % 4 == 0)
+        )
+        m, W = len(pattern), len(window)
+        wdp = dev.window_dp(
+            jnp.asarray(pattern[None, :]),
+            jnp.asarray(window[None, :]),
+            jnp.asarray(np.array([left_edge])),
+            jnp.asarray(np.array([right_pos], np.int32)),
+            np.int32(oracle.scale_alpha(alpha)),
+        )
+        a_incl, b_incl = 2, m - 3
+        iv_a, iv_b = 3, m - 2
+        tr = dev.traceback_reduce(
+            wdp.moves,
+            jnp.asarray(np.array([[w_len]], np.int32)),
+            jnp.asarray(np.array([[True]])),
+            np.int32(a_incl),
+            np.int32(b_incl),
+            np.int32(iv_a),
+            np.int32(iv_b),
+            m=m,
+            W=W,
+        )
+
+        C = oracle.window_table(pattern, window[:w_len], left_edge, right_pos, alpha)
+        ts, path, ops = oracle.window_traceback(
+            C, pattern, window[:w_len], w_len, left_edge, right_pos, alpha
+        )
+        aln = oracle.Alignment(
+            text_start=ts,
+            text_end=w_len,
+            cost=int(C[-1, w_len]),
+            strand=Strand.Fwd,
+            path=path,
+            ops=ops,
+        )
+        assert int(np.asarray(tr.text_start)[0, 0]) == ts, trial
+
+        reg = oracle.matching_region(aln, a_incl, b_incl)
+        got_lo = int(np.asarray(tr.region_lo)[0, 0])
+        got_hi = int(np.asarray(tr.region_hi)[0, 0])
+        assert reg == (got_lo, got_hi), trial
+
+        iv = oracle.map_pattern_interval(aln, iv_a, iv_b)
+        assert iv is not None
+        (pi, pe), (pj, ej), cost = iv
+        assert int(np.asarray(tr.iv_pi)[0, 0]) == pi
+        assert int(np.asarray(tr.iv_ei)[0, 0]) == pe - 1
+        assert int(np.asarray(tr.iv_pj)[0, 0]) == pj
+        assert int(np.asarray(tr.iv_ej)[0, 0]) == ej - 1
+        assert int(np.asarray(tr.iv_cost)[0, 0]) == cost
+
+        want_lodhi = lodhi_from_ops(ops)
+        got_lodhi = float(np.asarray(tr.lodhi)[0, 0])
+        assert got_lodhi == pytest.approx(want_lodhi, rel=1e-5), trial
+
+
+def test_best_valley_per_pattern_matches_oracle():
+    rng = np.random.default_rng(5)
+    P, m, H, W = 5, 8, 3, 30
+    patterns = np.stack([rand_masks(rng, m) for _ in range(P)])
+    w_len = np.array([30, 22, 17], dtype=np.int32)
+    windows = np.zeros((H, W), dtype=np.uint8)
+    for h in range(H):
+        windows[h, : w_len[h]] = rand_masks(rng, w_len[h])
+        windows[h, 3 : 3 + m] = patterns[h % P]
+
+    bdp = dev.window_dp(
+        jnp.asarray(patterns),
+        jnp.asarray(windows),
+        jnp.zeros(H, dtype=bool),
+        jnp.full(H, -1, jnp.int32),
+        np.int32(dev.UNIT),
+    )
+    best = dev.best_valley_per_pattern(bdp.ends, jnp.asarray(w_len))
+    for h in range(H):
+        got_best = oracle.best_match_per_pattern(patterns, windows[h, : w_len[h]], m)
+        for p in range(P):
+            aln = got_best[p]
+            assert aln is not None
+            assert int(np.asarray(best.cost)[h, p]) == aln.cost, (h, p)
+            assert int(np.asarray(best.pos)[h, p]) == aln.text_end, (h, p)
+
+
+# ---------------------------------------------------------------------------
+# Full engine conformance vs scalar Demuxer
+# ---------------------------------------------------------------------------
+
+
+def _engine_pair(kit="SQK-RBK110-96", n_bars=None):
+    groups = BarcodeGroup.from_kit(kit)
+    for g in groups:
+        if n_bars is not None:
+            g.barcodes = g.barcodes[:n_bars]
+            g.patterns_fwd = g.patterns_fwd[:n_bars]
+            g.patterns_rc = g.patterns_rc[:n_bars]
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    scalar = Demuxer(alpha=0.4)
+    for g in groups:
+        scalar.add_query_group(g)
+    engine = JaxDemuxEngine(groups, alpha=0.4)
+    return scalar, engine
+
+
+def _random_read(rng, n):
+    return bytes(rng.choice(b"ACGT") for _ in range(n))
+
+
+def _mutate(rng, seq, n_edits):
+    s = bytearray(seq)
+    for _ in range(n_edits):
+        idx = rng.randrange(len(s))
+        op = rng.randrange(3)
+        if op == 0:
+            cur = s[idx]
+            choices = [b for b in b"ACGT" if b != cur]
+            s[idx] = rng.choice(choices)
+        elif op == 1 and len(s) > 1:
+            del s[idx]
+        else:
+            s.insert(idx, rng.choice(b"ACGT"))
+    return bytes(s)
+
+
+def _construct(idx):
+    return (db.RBK4_FRONT + db.BC_SEQS[idx] + db.RBK4_REAR).encode()
+
+
+@pytest.mark.slow
+def test_engine_matches_oracle_on_synthetic_reads():
+    rng = random.Random(42)
+    scalar, engine = _engine_pair(n_bars=16)
+
+    reads = []
+    for i in range(24):
+        kind = i % 6
+        body = _random_read(rng, rng.randrange(150, 500))
+        bc = rng.randrange(16)
+        if kind == 0:  # clean front construct
+            seq = _construct(bc) + body
+        elif kind == 1:  # rc read
+            seq = dna.reverse_complement_bytes(_construct(bc) + body)
+        elif kind == 2:  # mutated construct
+            seq = _mutate(rng, _construct(bc) + body, 6)
+        elif kind == 3:  # random (no construct)
+            seq = body
+        elif kind == 4:  # left-trimmed construct (overhang)
+            seq = _construct(bc)[rng.randrange(1, 20) :] + body
+        else:  # constructs both ends
+            seq = (
+                _construct(bc)
+                + body
+                + dna.reverse_complement_bytes(_construct((bc + 1) % 16))
+            )
+        reads.append((f"r{i}", seq))
+
+    ids = [r[0] for r in reads]
+    seqs = [r[1] for r in reads]
+    got = engine.demux_batch(ids, seqs)
+    for rid, seq, rows in zip(ids, seqs, got):
+        want = scalar.demux(rid, seq)
+        assert rows == want, f"{rid}: {rows} != {want}"
+
+
+@pytest.mark.slow
+def test_engine_matches_oracle_chunked_long_reads():
+    rng = random.Random(7)
+    scalar, engine = _engine_pair(n_bars=8)
+    engine.max_row_len = 512  # force chunking
+
+    reads = []
+    for i in range(4):
+        body = _random_read(rng, 1500)
+        mid = _construct(i)  # construct placed mid-read (chunk interior)
+        seq = _construct(7 - i) + body[:700] + mid + body[700:]
+        reads.append((f"long{i}", seq))
+
+    ids = [r[0] for r in reads]
+    seqs = [r[1] for r in reads]
+    got = engine.demux_batch(ids, seqs)
+    for rid, seq, rows in zip(ids, seqs, got):
+        want = scalar.demux(rid, seq)
+        assert rows == want, rid
