@@ -67,7 +67,10 @@ def flank_ends(pattern, text, lens, is_first, alpha_scaled):
     vert = jnp.where(jpos[None, :] == lens[:, None], alpha_scaled, UNIT)
     unit_j = UNIT * jpos
 
-    C0 = jnp.zeros((B, L + 1), dtype=jnp.int32)
+    # Derive the initial carry from `text` so it inherits the same
+    # varying-axes type under shard_map (a plain zeros() is "replicated"
+    # and scan would reject the carry type mismatch).
+    C0 = jnp.zeros((B, L + 1), dtype=jnp.int32) + (text[:, :1].astype(jnp.int32) * 0)
     rows = (pattern.astype(jnp.int32), jnp.arange(1, m + 1, dtype=jnp.int32))
 
     def row_step(C_prev, xs):

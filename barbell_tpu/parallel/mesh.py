@@ -1,0 +1,81 @@
+"""Multi-chip execution: 1-D data mesh over reads.
+
+Demultiplexing is embarrassingly parallel per read, so the sharding
+story is a single ``reads`` mesh axis: read-chunk rows are sharded
+across chips, the query tensors (flank + barcode patterns) are
+replicated, and the only collectives are ``psum`` reductions for
+progress counters / per-barcode histograms (tiny, ICI-friendly).
+Everything here is single-controller `jax.sharding` + `shard_map`;
+multi-host runs additionally shard input *files* per host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import device as dev
+
+READS_AXIS = "reads"
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map  # type: ignore
+
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_rep=False)
+    except TypeError:  # check_rep removed/renamed
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (READS_AXIS,))
+
+
+def shard_rows(mesh: Mesh, *arrays):
+    """Place arrays with their leading axis sharded over the reads axis."""
+    out = []
+    for arr in arrays:
+        spec = P(READS_AXIS, *([None] * (np.ndim(arr) - 1)))
+        out.append(jax.device_put(arr, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def sharded_flank_step(mesh: Mesh, K: int = 16):
+    """The sharded per-batch flank-scan step.
+
+    Per shard: end-cost scan + valley extraction on the local rows;
+    cross-chip: a `psum` of the rows-with-hits counter (the progress /
+    histogram reduction — the only collective demux needs).  Hit arrays
+    stay sharded with their rows.
+    """
+
+    def local_step(pattern, rows, end_col, is_first, lo, hi, k_scaled, alpha_scaled):
+        ends = dev.flank_ends(pattern, rows, end_col, is_first, alpha_scaled)
+        hits = dev.find_hits(ends, lo, hi, k_scaled, K)
+        local_found = jnp.sum(hits.valid.any(axis=1).astype(jnp.int32))
+        global_found = jax.lax.psum(local_found, READS_AXIS)
+        return hits, global_found
+
+    row = P(READS_AXIS)
+    row2 = P(READS_AXIS, None)
+    mapped = _shard_map(
+        local_step,
+        mesh,
+        in_specs=(P(None), row2, row, row, row, row, P(), P()),
+        out_specs=(
+            dev.Hits(pos=row2, cost=row2, valid=row2, count=row),
+            P(),
+        ),
+    )
+    return jax.jit(mapped)

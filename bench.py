@@ -1,0 +1,115 @@
+"""Benchmark: SQK-RBK114-96 demux throughput (reads/sec/chip).
+
+Generates synthetic rapid-kit reads (600-4000bp, up to 6 edits, 50%
+reverse-complemented — the reference benchmark harness's GroupII class)
+and measures the end-to-end annotate path (encode -> device pipeline ->
+BarbellMatch rows) on the available chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no absolute throughput numbers (BASELINE.md),
+so vs_baseline is measured against REFERENCE_CPU_READS_PER_SEC, a
+nominal reads/s figure for the reference's default 10-thread CPU
+configuration on this read mix (order-of-magnitude anchor, documented
+in BASELINE.md as "still very fast" with no number).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_CPU_READS_PER_SEC = 20_000.0  # nominal anchor; no published number
+
+N_READS = int(os.environ.get("BENCH_READS", "2048"))
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+
+
+def make_reads(n, seed=0):
+    import random
+
+    from barbell_tpu.sim.simulate import (
+        mutate_sequence,
+        rapid_adapter,
+        random_sequence,
+    )
+    from barbell_tpu.sim.simulate import default_barcodes
+    from barbell_tpu.utils import dna
+
+    rng = random.Random(seed)
+    barcodes = default_barcodes(96)
+    reads = []
+    for i in range(n):
+        label, bseq = barcodes[rng.randrange(96)]
+        body = bytes(random_sequence(rng, rng.randrange(600, 4000)))
+        seq = rapid_adapter(bseq) + body
+        if rng.random() < 0.5:
+            seq = dna.reverse_complement_bytes(seq)
+        seq = mutate_sequence(rng, seq, 0, 6)
+        reads.append((f"seq_{i}", seq, label))
+    return reads
+
+
+def main():
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.models.records import BarcodeType
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+
+    reads = make_reads(N_READS)
+
+    groups = BarcodeGroup.from_kit("SQK-RBK114-96")
+    for g in groups:
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    engine = JaxDemuxEngine(groups)
+
+    ids = [r[0] for r in reads]
+    seqs = [r[1] for r in reads]
+    truth = {r[0]: r[2] for r in reads}
+
+    # Warm-up / compile on the first batch.
+    engine.demux_batch(ids[:BATCH], seqs[:BATCH])
+
+    t0 = time.perf_counter()
+    n_done = 0
+    correct = 0
+    assigned = 0
+    for i in range(0, len(reads), BATCH):
+        bids = ids[i : i + BATCH]
+        bseqs = seqs[i : i + BATCH]
+        if len(bids) < BATCH:
+            break
+        out = engine.demux_batch(bids, bseqs)
+        n_done += len(bids)
+        for rid, rows in zip(bids, out):
+            tags = [m for m in rows if m.match_type == BarcodeType.Ftag]
+            if tags:
+                assigned += 1
+                if tags[0].label == truth[rid]:
+                    correct += 1
+    dt = time.perf_counter() - t0
+    rps = n_done / dt
+
+    acc = correct / max(1, n_done)
+    print(
+        f"# {n_done} reads in {dt:.2f}s; assigned {assigned / max(1, n_done):.3f}, "
+        f"correct {acc:.3f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rbk114_96_demux_reads_per_sec_per_chip",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / REFERENCE_CPU_READS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
