@@ -1,0 +1,94 @@
+"""Native IO extension loader (ctypes; builds lazily with g++ if needed).
+
+Falls back cleanly when no compiler/zlib is available — the pure-Python
+readers in :mod:`barbell_tpu.utils.fastx` remain the portable path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fastq_io.cpp")
+_SO = os.path.join(_HERE, "libbarbell_io.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        _SRC,
+        "-o",
+        _SO,
+        "-lz",
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        return res.returncode == 0 and os.path.exists(_SO)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on first use; None if
+    unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.bbio_reader_open.restype = ctypes.c_void_p
+        lib.bbio_reader_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+        ]
+        lib.bbio_reader_close.argtypes = [ctypes.c_void_p]
+        lib.bbio_reader_next_batch.restype = ctypes.c_long
+        lib.bbio_reader_next_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.bbio_writer_open.restype = ctypes.c_void_p
+        lib.bbio_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.bbio_writer_write.restype = ctypes.c_int
+        lib.bbio_writer_write.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_char_p,
+            ctypes.c_long,
+        ]
+        lib.bbio_writer_close.restype = ctypes.c_int
+        lib.bbio_writer_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None

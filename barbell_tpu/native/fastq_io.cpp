@@ -1,0 +1,278 @@
+// Native FASTQ IO: batched multi-file reader (plain + gzip) and
+// per-label writers.  Host-side input pipeline feeding the device
+// demux engine — the throughput-critical equivalent of the reference's
+// parallel FASTQ reader / gzip writer dependencies.
+//
+// C ABI (ctypes):
+//   reader:
+//     void* bbio_reader_open(const char** paths, int n);
+//     long  bbio_reader_next_batch(void* r, int max_records,
+//                                  char* data, long data_cap,
+//                                  long* rec_offsets /* 4*(max_records+... ) */);
+//       data layout per record: header\0 seq\0 qual\0 back to back;
+//       rec_offsets stores, per record, 4 longs:
+//         header_off, seq_off, qual_off, qual_end
+//       returns #records (0 = EOF, -1 = parse error, -2 = buffer too
+//       small for a single record).
+//     void  bbio_reader_close(void* r);
+//   writer:
+//     void* bbio_writer_open(const char* path, int gzip_level);
+//     int   bbio_writer_write(void* w, const char* header, long hlen,
+//                             const char* seq, long slen,
+//                             const char* qual, long qlen);
+//     int   bbio_writer_close(void* w);
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+constexpr size_t CHUNK = 1 << 20;
+
+struct Reader {
+    std::vector<std::string> paths;
+    size_t path_idx = 0;
+
+    FILE* fp = nullptr;
+    bool is_gzip = false;
+    z_stream zs;
+    std::vector<unsigned char> zin;
+    size_t zin_len = 0, zin_pos = 0;
+    bool zin_eof = false;
+
+    std::vector<char> buf;  // decompressed/raw buffered bytes
+    size_t buf_pos = 0;
+    bool failed = false;
+
+    ~Reader() { close_current(); }
+
+    void close_current() {
+        if (fp) {
+            if (is_gzip) inflateEnd(&zs);
+            fclose(fp);
+            fp = nullptr;
+        }
+    }
+
+    bool open_next() {
+        close_current();
+        if (path_idx >= paths.size()) return false;
+        const std::string& p = paths[path_idx++];
+        fp = fopen(p.c_str(), "rb");
+        if (!fp) { failed = true; return false; }
+        int c1 = fgetc(fp), c2 = fgetc(fp);
+        is_gzip = (c1 == 0x1f && c2 == 0x8b);
+        rewind(fp);
+        if (is_gzip) {
+            memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) { failed = true; return false; }
+            zin.resize(CHUNK);
+            zin_len = zin_pos = 0;
+            zin_eof = false;
+        }
+        return true;
+    }
+
+    // Append more bytes to buf; returns false at EOF of current file.
+    bool fill() {
+        if (!fp && !open_next()) return false;
+        size_t old = buf.size();
+        if (!is_gzip) {
+            buf.resize(old + CHUNK);
+            size_t got = fread(buf.data() + old, 1, CHUNK, fp);
+            buf.resize(old + got);
+            if (got == 0) {
+                close_current();
+                return false;
+            }
+            return true;
+        }
+        // gzip path
+        buf.resize(old + CHUNK);
+        zs.next_out = reinterpret_cast<unsigned char*>(buf.data() + old);
+        zs.avail_out = CHUNK;
+        while (zs.avail_out > 0) {
+            if (zin_pos == zin_len && !zin_eof) {
+                zin_len = fread(zin.data(), 1, zin.size(), fp);
+                zin_pos = 0;
+                if (zin_len == 0) zin_eof = true;
+            }
+            if (zin_pos == zin_len && zin_eof) break;  // input exhausted
+            zs.next_in = zin.data() + zin_pos;
+            zs.avail_in = static_cast<unsigned>(zin_len - zin_pos);
+            int rc = inflate(&zs, Z_NO_FLUSH);
+            zin_pos = zin_len - zs.avail_in;
+            if (rc == Z_STREAM_END) {
+                // multi-member gzip support: reset and keep inflating
+                inflateReset2(&zs, 16 + MAX_WBITS);
+                continue;
+            }
+            if (rc != Z_OK) { failed = true; buf.resize(old); return false; }
+        }
+        buf.resize(old + (CHUNK - zs.avail_out));
+        if (zin_pos == zin_len && zin_eof) close_current();
+        return buf.size() > old;
+    }
+
+    void compact() {
+        if (buf_pos > 0) {
+            buf.erase(buf.begin(), buf.begin() + buf_pos);
+            buf_pos = 0;
+        }
+    }
+
+    // Find next '\n' at/after `from`; grows buffer as needed.
+    // Returns npos on EOF with no newline.
+    size_t find_nl(size_t from) {
+        while (true) {
+            const char* base = buf.data();
+            const char* hit = static_cast<const char*>(
+                memchr(base + from, '\n', buf.size() - from));
+            if (hit) return static_cast<size_t>(hit - base);
+            from = buf.size();
+            if (!fill()) return std::string::npos;
+        }
+    }
+};
+
+struct Writer {
+    FILE* fp = nullptr;
+    gzFile gz = nullptr;
+
+    int write(const char* p, size_t n) {
+        if (gz) return gzwrite(gz, p, static_cast<unsigned>(n)) == static_cast<int>(n) ? 0 : -1;
+        return fwrite(p, 1, n, fp) == n ? 0 : -1;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* bbio_reader_open(const char** paths, int n) {
+    Reader* r = new Reader();
+    for (int i = 0; i < n; i++) r->paths.emplace_back(paths[i]);
+    return r;
+}
+
+void bbio_reader_close(void* rp) { delete static_cast<Reader*>(rp); }
+
+long bbio_reader_next_batch(void* rp, int max_records, char* data,
+                            long data_cap, long* rec_offsets) {
+    Reader& r = *static_cast<Reader*>(rp);
+    if (r.failed) return -1;
+    long n_rec = 0;
+    long out = 0;
+    while (n_rec < max_records) {
+        r.compact();
+        // ensure at least one byte
+        if (r.buf_pos >= r.buf.size()) {
+            if (!r.fill()) {
+                if (r.failed) return -1;
+                if (r.path_idx < r.paths.size() || r.fp) continue;  // next file
+                break;  // true EOF
+            }
+        }
+        size_t p = r.buf_pos;
+        // skip blank lines
+        while (p < r.buf.size() && (r.buf[p] == '\n' || r.buf[p] == '\r')) p++;
+        if (p >= r.buf.size()) { r.buf_pos = p; continue; }
+        if (r.buf[p] != '@') return -1;
+
+        size_t h_end = r.find_nl(p);
+        if (h_end == std::string::npos) return -1;
+        size_t s_start = h_end + 1;
+        size_t s_end = r.find_nl(s_start);
+        if (s_end == std::string::npos) return -1;
+        size_t plus = s_end + 1;
+        size_t plus_end = r.find_nl(plus);
+        if (plus_end == std::string::npos || r.buf[plus] != '+') return -1;
+        size_t q_start = plus_end + 1;
+        size_t q_end = r.find_nl(q_start);
+        if (q_end == std::string::npos) {
+            // final record may lack trailing newline only via fill() EOF;
+            // accept qual up to buffer end
+            q_end = r.buf.size();
+            if (q_end <= q_start) return -1;
+        }
+
+        auto trim = [&](size_t start, size_t end) {
+            while (end > start && (r.buf[end - 1] == '\r')) end--;
+            return end;
+        };
+        size_t h_e = trim(p + 1, h_end);
+        size_t s_e = trim(s_start, s_end);
+        size_t q_e = trim(q_start, q_end);
+        if ((s_e - s_start) != (q_e - q_start)) return -1;
+
+        long hlen = static_cast<long>(h_e - (p + 1));
+        long slen = static_cast<long>(s_e - s_start);
+        long need = hlen + 1 + slen + 1 + slen + 1;
+        if (out + need > data_cap) {
+            if (n_rec == 0) return -2;  // single record larger than buffer
+            break;                       // flush what we have
+        }
+
+        long* off = rec_offsets + 4 * n_rec;
+        off[0] = out;
+        memcpy(data + out, r.buf.data() + p + 1, hlen);
+        out += hlen;
+        data[out++] = '\0';
+        off[1] = out;
+        memcpy(data + out, r.buf.data() + s_start, slen);
+        out += slen;
+        data[out++] = '\0';
+        off[2] = out;
+        memcpy(data + out, r.buf.data() + q_start, slen);
+        out += slen;
+        data[out++] = '\0';
+        off[3] = off[2] + slen;
+
+        r.buf_pos = (q_end < r.buf.size()) ? q_end + 1 : q_end;
+        n_rec++;
+    }
+    return n_rec;
+}
+
+void* bbio_writer_open(const char* path, int gzip_level) {
+    Writer* w = new Writer();
+    if (gzip_level > 0) {
+        char mode[8];
+        snprintf(mode, sizeof(mode), "wb%d", gzip_level);
+        w->gz = gzopen(path, mode);
+        if (!w->gz) { delete w; return nullptr; }
+    } else {
+        w->fp = fopen(path, "wb");
+        if (!w->fp) { delete w; return nullptr; }
+    }
+    return w;
+}
+
+int bbio_writer_write(void* wp, const char* header, long hlen,
+                      const char* seq, long slen, const char* qual,
+                      long qlen) {
+    Writer& w = *static_cast<Writer*>(wp);
+    if (w.write("@", 1)) return -1;
+    if (w.write(header, hlen)) return -1;
+    if (w.write("\n", 1)) return -1;
+    if (w.write(seq, slen)) return -1;
+    if (w.write("\n+\n", 3)) return -1;
+    if (w.write(qual, qlen)) return -1;
+    if (w.write("\n", 1)) return -1;
+    return 0;
+}
+
+int bbio_writer_close(void* wp) {
+    Writer* w = static_cast<Writer*>(wp);
+    int rc = 0;
+    if (w->gz) rc = gzclose(w->gz) == Z_OK ? 0 : -1;
+    if (w->fp) rc = fclose(w->fp) == 0 ? 0 : -1;
+    delete w;
+    return rc;
+}
+
+}  // extern "C"

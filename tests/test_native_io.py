@@ -1,0 +1,88 @@
+"""Native IO extension tests (skipped when g++/zlib unavailable)."""
+
+import gzip
+
+import pytest
+
+from barbell_tpu.utils.fastx import iter_fastq_batches
+from barbell_tpu.utils import fastx_native
+
+pytestmark = pytest.mark.skipif(
+    not fastx_native.native_available(), reason="native IO unavailable"
+)
+
+
+def _write_fastq(path, records, use_gzip=False):
+    op = gzip.open if use_gzip else open
+    with op(path, "wt") as fh:
+        for h, s, q in records:
+            fh.write(f"@{h}\n{s}\n+\n{q}\n")
+
+
+RECORDS = [
+    ("read1 desc here", "ACGTACGT", "IIIIIIII"),
+    ("read2", "GGGG", "####"),
+    ("read3", "A" * 300, "J" * 300),
+]
+
+
+def test_native_reader_plain(tmp_path):
+    p = tmp_path / "in.fastq"
+    _write_fastq(p, RECORDS)
+    batches = list(fastx_native.iter_fastq_batches_native([str(p)], 2))
+    flat = [r for b in batches for r in b]
+    assert [(h, s.decode(), q.decode()) for h, s, q in flat] == RECORDS
+
+
+def test_native_reader_gzip_and_multifile(tmp_path):
+    p1 = tmp_path / "a.fastq.gz"
+    p2 = tmp_path / "b.fastq"
+    _write_fastq(p1, RECORDS[:2], use_gzip=True)
+    _write_fastq(p2, RECORDS[2:])
+    flat = [
+        r
+        for b in fastx_native.iter_fastq_batches_native([str(p1), str(p2)], 10)
+        for r in b
+    ]
+    assert len(flat) == 3
+    assert flat[0][0] == "read1 desc here"
+    assert flat[2][1] == b"A" * 300
+
+
+def test_native_matches_python_reader(tmp_path):
+    import random
+
+    rng = random.Random(0)
+    records = [
+        (
+            f"r{i} meta{i}",
+            "".join(rng.choice("ACGT") for _ in range(rng.randrange(10, 500))),
+            "",
+        )
+        for i in range(200)
+    ]
+    records = [(h, s, "I" * len(s)) for h, s, _ in records]
+    p = tmp_path / "big.fastq.gz"
+    _write_fastq(p, records, use_gzip=True)
+    native = [
+        r for b in fastx_native.iter_fastq_batches_native([str(p)], 64) for r in b
+    ]
+    pure = [r for b in iter_fastq_batches([str(p)], 64) for r in b]
+    assert native == pure
+
+
+def test_native_writer_roundtrip(tmp_path):
+    out = tmp_path / "out.fastq.gz"
+    w = fastx_native.NativeFastqWriter(str(out), gzip_level=6)
+    for h, s, q in RECORDS:
+        w.write_record(h.encode(), s.encode(), q.encode())
+    w.close()
+    back = [r for b in iter_fastq_batches([str(out)], 10) for r in b]
+    assert [(h, s.decode(), q.decode()) for h, s, q in back] == RECORDS
+
+
+def test_native_reader_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.fastq"
+    p.write_text("not a fastq at all\n")
+    with pytest.raises(ValueError):
+        list(fastx_native.iter_fastq_batches_native([str(p)], 4))
