@@ -117,6 +117,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gzip", action="store_true")
     _add_backend_args(p)
 
+    # ------------------------------------------------------------------ sim
+    p = sub.add_parser("sim", help="Generate simulated reads with ground truth")
+    p.add_argument("-n", "--num-reads", type=int, default=1000)
+    p.add_argument("-o", "--output", required=True, help="Output directory")
+    p.add_argument("-r", "--rc-frac", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--groups", nargs="+", default=None, help="Subset of GroupI..GroupVI")
+    p.add_argument("--num-barcodes", type=int, default=96)
+
+    # -------------------------------------------------------------- compare
+    p = sub.add_parser(
+        "compare", help="Run the kit pipeline over simulated groups and score it"
+    )
+    p.add_argument("--sim-dir", required=True)
+    p.add_argument("-o", "--output", required=True, help="Working directory")
+    p.add_argument("-k", "--kit", default="SQK-RBK110-96")
+    p.add_argument("--maximize", action="store_true")
+    p.add_argument("--verify", action="store_true",
+                   help="Independently re-verify assignments with a direct search")
+    p.add_argument("--backend", choices=["auto", "jax", "oracle"], default="auto")
+
     return parser
 
 
@@ -204,6 +225,32 @@ def main(argv: Optional[List[str]] = None) -> int:
             batch_size=args.batch_size,
         )
         demux_using_kit(args.input, config)
+
+    elif args.command == "sim":
+        from .sim.simulate import GROUPS, create_testdata, default_barcodes
+
+        create_testdata(
+            args.num_reads,
+            args.output,
+            barcodes=default_barcodes(args.num_barcodes),
+            rc_frac=args.rc_frac,
+            seed=args.seed,
+            groups=tuple(args.groups) if args.groups else GROUPS,
+        )
+        print(f"Simulated data written to {args.output}")
+
+    elif args.command == "compare":
+        from .sim.compare import print_reports, run_compare
+
+        reports = run_compare(
+            args.sim_dir,
+            args.output,
+            kit=args.kit,
+            maximize=args.maximize,
+            backend=args.backend,
+            verify=args.verify,
+        )
+        print_reports(reports)
 
     return 0
 

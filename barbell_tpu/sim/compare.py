@@ -1,0 +1,185 @@
+"""Accuracy evaluation harness over simulated read classes.
+
+The counterpart of the reference's tool-comparison crate: runs the kit
+pipeline over each simulated group, normalizes the per-read assignment
+(read_id -> label), verifies it against ground truth, and — like the
+reference's independent re-checker — re-validates assigned reads with a
+direct oracle flank+barcode search that is independent of the pipeline
+under test.
+
+Expected outcomes per class (reference benchmarks/data/README.md):
+GroupII fully recovered; GroupI/IV/V/VI rejected; GroupIII best-effort.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..kits.database import RBK4_FRONT, RBK4_REAR, lookup_barcode_seq
+from ..models.records import read_annotations
+from ..ops import oracle
+from ..ops.edit_model import get_edit_cut_off
+from ..utils import dna
+from ..utils.fastx import iter_fastq, split_fastq_header
+
+
+@dataclass
+class GroupReport:
+    group: str
+    total_reads: int = 0
+    assigned: int = 0
+    correct: int = 0
+    verified: int = 0
+
+    @property
+    def assign_rate(self) -> float:
+        return self.assigned / self.total_reads if self.total_reads else 0.0
+
+    @property
+    def accuracy(self) -> float:
+        return self.correct / self.assigned if self.assigned else 0.0
+
+
+def read_truth(path: str) -> Dict[str, str]:
+    truth = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line:
+                    rid, _, label = line.partition("\t")
+                    truth[rid] = label
+    return truth
+
+
+def assignments_from_trimmed(out_dir: str) -> Dict[str, str]:
+    """read_id -> label from the per-label trimmed FASTQ outputs."""
+    assigned: Dict[str, str] = {}
+    for fname in sorted(os.listdir(out_dir)):
+        for suffix in (".trimmed.fastq", ".trimmed.fastq.gz"):
+            if fname.endswith(suffix):
+                label = fname[: -len(suffix)]
+                for header, _seq, _q in iter_fastq([os.path.join(out_dir, fname)]):
+                    assigned[split_fastq_header(header)[0]] = label
+    return assigned
+
+
+def independent_check(
+    seq: bytes, label: str, flank_k: Optional[int] = None
+) -> bool:
+    """Re-verify an assignment with a direct search, independent of the
+    pipeline: the rapid flank must hit (either strand) and the assigned
+    barcode must sit in the flank neighbourhood within its own edit
+    budget."""
+    flank = (RBK4_FRONT + "N" * 24 + RBK4_REAR).encode()
+    flank_masks = dna.encode(flank)
+    if flank_k is None:
+        flank_k = get_edit_cut_off(len(RBK4_FRONT) + len(RBK4_REAR))
+    bar_seq = lookup_barcode_seq(label)
+    if bar_seq is None:
+        return False
+    bar_masks = dna.encode(bar_seq.encode())
+    bar_k = max(1, int(len(bar_seq) * 0.25))
+
+    text = dna.encode(seq)
+    for masks in (text, dna.reverse_complement_masks(text)):
+        flank_hits = oracle.search(flank_masks, masks, flank_k, alpha=0.4)
+        for fm in flank_hits:
+            lo = max(0, fm.text_start)
+            hi = min(len(masks), fm.text_end)
+            window = masks[lo:hi]
+            if len(window) == 0:
+                continue
+            if oracle.search(bar_masks, window, bar_k):
+                return True
+    return False
+
+
+def evaluate_group(
+    group: str,
+    fastq_path: str,
+    truth_path: str,
+    out_dir: str,
+    verify: bool = False,
+    verify_limit: int = 50,
+) -> GroupReport:
+    truth = read_truth(truth_path)
+    assigned = assignments_from_trimmed(out_dir)
+    report = GroupReport(group=group)
+
+    seqs: Dict[str, bytes] = {}
+    for header, seq, _q in iter_fastq([fastq_path]):
+        rid = split_fastq_header(header)[0]
+        report.total_reads += 1
+        seqs[rid] = seq
+
+    n_verified = 0
+    for rid, label in assigned.items():
+        if rid not in seqs:
+            # multi-slice outputs carry _N read-id suffixes
+            base, _, tail = rid.rpartition("_")
+            if tail.isdigit() and base in seqs:
+                rid = base
+            else:
+                continue
+        report.assigned += 1
+        if truth.get(rid) == label:
+            report.correct += 1
+        if verify and n_verified < verify_limit:
+            if independent_check(seqs[rid], label):
+                report.verified += 1
+            n_verified += 1
+    return report
+
+
+def run_compare(
+    sim_dir: str,
+    work_dir: str,
+    kit: str = "SQK-RBK110-96",
+    groups: Optional[List[str]] = None,
+    maximize: bool = False,
+    backend: str = "auto",
+    verify: bool = False,
+) -> List[GroupReport]:
+    """Run the kit pipeline on each simulated group and score it."""
+    from ..stages.kit import KitRunConfig, demux_using_kit
+    from .simulate import GROUPS
+
+    groups = groups or [
+        g for g in GROUPS if os.path.exists(os.path.join(sim_dir, f"{g}.fastq"))
+    ]
+    reports = []
+    for group in groups:
+        fastq = os.path.join(sim_dir, f"{group}.fastq")
+        out = os.path.join(work_dir, group)
+        config = KitRunConfig(
+            kit_name=kit,
+            output_folder=out,
+            maximize=maximize,
+            backend=backend,
+        )
+        demux_using_kit([fastq], config)
+        reports.append(
+            evaluate_group(
+                group,
+                fastq,
+                os.path.join(sim_dir, f"{group}_truth.txt"),
+                out,
+                verify=verify,
+            )
+        )
+    return reports
+
+
+def print_reports(reports: List[GroupReport]) -> None:
+    print(f"{'group':<10} {'reads':>6} {'assigned':>9} {'correct':>8} "
+          f"{'assign%':>8} {'acc%':>6}")
+    for r in reports:
+        print(
+            f"{r.group:<10} {r.total_reads:>6} {r.assigned:>9} {r.correct:>8} "
+            f"{100 * r.assign_rate:>7.1f}% {100 * r.accuracy:>5.1f}%"
+        )
