@@ -56,6 +56,7 @@ def _pow2_at_least(x: int, lo: int = 8) -> int:
 @dataclass
 class _Hit:
     read_idx: int
+    strand: Strand
     end_abs: int  # absolute end position in strand-space text
     cost: int  # scaled
     row: int  # row index in the device buffer
@@ -280,10 +281,9 @@ class JaxDemuxEngine:
                 self.K,
             )
             rows_dev = scan.rows
-            pos = np.asarray(scan.hits.pos)
-            cost = np.asarray(scan.hits.cost)
-            valid = np.asarray(scan.hits.valid)
-            count = np.asarray(scan.hits.count)
+            pos, cost, valid, count = comp.unpack_flank_scan(
+                np.asarray(scan.packed), self.K
+            )
 
             hits: Dict[Strand, List[_Hit]] = {Strand.Fwd: [], Strand.Rc: []}
             for row, mi in row_to_meta.items():
@@ -297,6 +297,7 @@ class JaxDemuxEngine:
                     hits[strand].append(
                         _Hit(
                             read_idx=ridx,
+                            strand=strand,
                             end_abs=int(offset + pos[row, k]),
                             cost=int(cost[row, k]),
                             row=row,
@@ -304,15 +305,20 @@ class JaxDemuxEngine:
                         )
                     )
 
-            for strand in (Strand.Fwd, Strand.Rc):
-                live = sorted(
-                    (h for h in hits[strand] if h.read_idx not in overflow_reads),
-                    key=lambda h: (h.read_idx, h.end_abs),
+            # Forward hits first, then rc — preserves the scalar engine's
+            # per-read row order after assembly.
+            live = [
+                h
+                for strand in (Strand.Fwd, Strand.Rc)
+                for h in sorted(
+                    hits[strand], key=lambda h: (h.read_idx, h.end_abs)
                 )
-                if live:
-                    self._process_hits(
-                        gplan, strand, live, rows_dev, plan, lens, results, read_ids
-                    )
+                if h.read_idx not in overflow_reads
+            ]
+            if live:
+                self._process_hits(
+                    gplan, live, rows_dev, plan, lens, results, read_ids
+                )
 
         for ridx in overflow_reads:
             results[ridx] = self._scalar_fallback().demux(read_ids[ridx], seqs[ridx])
@@ -348,7 +354,6 @@ class JaxDemuxEngine:
     def _process_hits(
         self,
         gplan: _GroupPlan,
-        strand: Strand,
         hits: List[_Hit],
         rows_dev,
         rplan: _RowPlan,
@@ -381,25 +386,27 @@ class JaxDemuxEngine:
             right_pos[h] = end_j[h] if hit.end_abs == n else -1
             hvalid[h] = True
 
-        tr = comp.flank_trace(
-            jnp.asarray(gplan.flank),
-            rows_dev,
-            jnp.asarray(row_idx),
-            jnp.asarray(win_start),
-            jnp.asarray(left_edge),
-            jnp.asarray(right_pos),
-            jnp.asarray(end_j),
-            jnp.asarray(hvalid),
-            jnp.int32(gplan.mask_start),
-            jnp.int32(gplan.mask_end),
-            jnp.int32(self.alpha_scaled),
-            m=gplan.m,
-            W=Wf,
+        tr = np.asarray(
+            comp.flank_trace(
+                jnp.asarray(gplan.flank),
+                rows_dev,
+                jnp.asarray(row_idx),
+                jnp.asarray(win_start),
+                jnp.asarray(left_edge),
+                jnp.asarray(right_pos),
+                jnp.asarray(end_j),
+                jnp.asarray(hvalid),
+                jnp.int32(gplan.mask_start),
+                jnp.int32(gplan.mask_end),
+                jnp.int32(self.alpha_scaled),
+                m=gplan.m,
+                W=Wf,
+            )
         )
-        flank_start_w = np.asarray(tr.text_start)
-        region_lo = np.asarray(tr.region_lo)
-        region_hi = np.asarray(tr.region_hi)
-        has_region = np.asarray(tr.has_region)
+        flank_start_w = tr[:, 0]
+        region_lo = tr[:, 1]
+        region_hi = tr[:, 2]
+        has_region = tr[:, 3] != 0
 
         # ---- Host: regions -> fwd barcode windows ---------------------
         sub = []  # (hit, flank_start_abs, bstart, bend, fwd_row, fwd_off)
@@ -410,7 +417,7 @@ class JaxDemuxEngine:
             s_abs = hit.row_offset + int(win_start[h])
             lo = s_abs + int(region_lo[h])
             hi = s_abs + int(region_hi[h])
-            if strand is Strand.Rc:
+            if hit.strand is Strand.Rc:
                 lo, hi = n - hi, n - lo
             bstart = max(0, lo - PADDING)
             bend = min(hi + PADDING, n)
@@ -431,42 +438,50 @@ class JaxDemuxEngine:
         b_start = np.zeros(H2_pad, dtype=np.int32)
         b_len = np.zeros(H2_pad, dtype=np.int32)
         b_valid = np.zeros(H2_pad, dtype=bool)
+        strand_sel = np.zeros(H2_pad, dtype=np.int32)
         for h, (hit, _fs, bstart, bend, frow, foff) in enumerate(sub):
             b_row[h] = frow
             b_start[h] = bstart - foff
             b_len[h] = bend - bstart
             b_valid[h] = True
+            strand_sel[h] = 0 if hit.strand is Strand.Fwd else 1
 
-        rank = comp.barcode_rank(
-            jnp.asarray(gplan.patterns[strand]),
-            rows_dev,
-            jnp.asarray(b_row),
-            jnp.asarray(b_start),
-            jnp.asarray(b_len),
-            jnp.asarray(b_valid),
-            jnp.int32(gplan.k1_scaled),
-            jnp.int32(gplan.rel_bar_start),
-            jnp.int32(gplan.rel_bar_end),
-            jnp.float32(gplan.perfect),
-            jnp.float32(self.min_score),
-            jnp.float32(self.min_score_diff),
-            m=gplan.plen,
-            W=Wb,
+        patterns2 = np.concatenate(
+            [gplan.patterns[Strand.Fwd], gplan.patterns[Strand.Rc]], axis=0
         )
-        top_idx = np.asarray(rank.top_idx)
-        accepted = np.asarray(rank.accepted)
-        rb_start = np.asarray(rank.read_bar_start)
-        rb_end = np.asarray(rank.read_bar_end)
-        p_start = np.asarray(rank.bar_start)
-        p_end = np.asarray(rank.bar_end)
-        b_cost = np.asarray(rank.bar_cost)
-        has_iv = np.asarray(rank.has_interval)
+        rank = np.asarray(
+            comp.barcode_rank(
+                jnp.asarray(patterns2),
+                rows_dev,
+                jnp.asarray(b_row),
+                jnp.asarray(b_start),
+                jnp.asarray(b_len),
+                jnp.asarray(strand_sel),
+                jnp.asarray(b_valid),
+                jnp.int32(gplan.k1_scaled),
+                jnp.int32(gplan.rel_bar_start),
+                jnp.int32(gplan.rel_bar_end),
+                jnp.float32(gplan.perfect),
+                jnp.float32(self.min_score),
+                jnp.float32(self.min_score_diff),
+                m=gplan.plen,
+                W=Wb,
+            )
+        )
+        top_idx = rank[:, 0]
+        accepted = rank[:, 1] != 0
+        rb_start = rank[:, 2]
+        rb_end = rank[:, 3]
+        p_start = rank[:, 4]
+        p_end = rank[:, 5]
+        b_cost = rank[:, 6]
+        has_iv = rank[:, 7] != 0
 
         # ---- Row assembly ----------------------------------------------
         group = gplan.group
         for h, (hit, flank_start_abs, bstart, _bend, _frow, _foff) in enumerate(sub):
             n = int(lens[hit.read_idx])
-            if strand is Strand.Fwd:
+            if hit.strand is Strand.Fwd:
                 fs, fe = flank_start_abs, hit.end_abs
             else:
                 fs, fe = oracle.rc_span_to_fwd(flank_start_abs, hit.end_abs, n)
@@ -490,7 +505,7 @@ class JaxDemuxEngine:
                         flank_cost=oracle.cost_to_int(hit.cost),
                         barcode_cost=int(b_cost[h]),
                         label=barcode.label,
-                        strand=strand,
+                        strand=hit.strand,
                         cuts=None,
                     )
                 )
@@ -510,7 +525,7 @@ class JaxDemuxEngine:
                         flank_cost=oracle.cost_to_int(hit.cost),
                         barcode_cost=len(group.barcodes[0].seq),
                         label="flank",
-                        strand=strand,
+                        strand=hit.strand,
                         cuts=None,
                     )
                 )

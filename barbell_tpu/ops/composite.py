@@ -1,24 +1,25 @@
 """Fused jitted composites for the demux pipeline.
 
-Under a tunneled/remote TPU every device call costs ~30ms round-trip,
-so the pipeline is organized as exactly three fused calls per
-(group, strand) batch, with the padded read rows staying device-resident
-between them:
+Under a tunneled/remote TPU every device call AND every fetched output
+array costs a ~30-50ms round trip, so the pipeline is organized as
+exactly three fused calls per group and batch — covering BOTH strands —
+each returning ONE packed int32 array; the padded read-row buffer stays
+device-resident between calls:
 
 1. :func:`flank_scan` — synthesize rc rows on device, run the flank
    end-cost scan over all rows, extract top-K valleys.  Returns the
-   assembled row buffer (stays on device) + compact hit arrays.
+   assembled row buffer (kept on device) + packed hits.
 2. :func:`flank_trace` — gather per-hit windows from the row buffer,
-   window DP + traceback, return flank start / mask-region spans.
-3. :func:`barcode_rank` — gather barcode windows, 96-pattern DP,
-   per-pattern best valley, candidate fallback, traceback + Lodhi,
-   min-score selection; returns per-hit result records.
+   window DP + traceback; packed flank start / mask-region spans.
+3. :func:`barcode_rank` — gather barcode windows, run the fwd+rc
+   pattern stacks, per-pattern best valley, candidate fallback,
+   traceback + Lodhi, min-score selection; packed per-hit records.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,6 @@ import jax.numpy as jnp
 from .device import (
     BIG,
     UNIT,
-    Hits,
     best_valley_per_pattern,
     find_hits,
     flank_ends,
@@ -53,7 +53,7 @@ def _rc_rows(rows, lens):
 
 class FlankScanOut(NamedTuple):
     rows: jnp.ndarray  # [R_total, L] assembled (host rows + rc simple rows)
-    hits: Hits
+    packed: jnp.ndarray  # [R_total, 2K+1] int32: K pos | K cost | count
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
@@ -74,7 +74,23 @@ def flank_scan(
     rows = jnp.concatenate([host_rows, rc_simple], axis=0)
     ends = flank_ends(pattern, rows, end_col, is_first, alpha_scaled)
     hits = find_hits(ends, lo, hi, k_scaled, K)
-    return FlankScanOut(rows=rows, hits=hits)
+    packed = jnp.concatenate(
+        [
+            hits.pos,
+            jnp.where(hits.valid, hits.cost, BIG),
+            hits.count[:, None],
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+    return FlankScanOut(rows=rows, packed=packed)
+
+
+def unpack_flank_scan(packed, K: int):
+    """host-side: (pos [R,K], cost [R,K], valid [R,K], count [R])."""
+    pos = packed[:, :K]
+    cost = packed[:, K : 2 * K]
+    count = packed[:, 2 * K]
+    return pos, cost, cost < int(BIG), count
 
 
 def _gather_windows(rows, row_idx, starts, W: int):
@@ -86,13 +102,6 @@ def _gather_windows(rows, row_idx, starts, W: int):
     jpos = jnp.arange(W, dtype=jnp.int32)
     cols = jnp.minimum(starts[:, None] + jpos[None, :], L - 1)
     return jnp.take_along_axis(rows[row_idx], cols, axis=1)
-
-
-class FlankTraceOut(NamedTuple):
-    text_start: jnp.ndarray  # [H] window-relative match start
-    region_lo: jnp.ndarray  # [H]
-    region_hi: jnp.ndarray  # [H]
-    has_region: jnp.ndarray  # [H]
 
 
 @functools.partial(jax.jit, static_argnames=("m", "W"))
@@ -110,9 +119,9 @@ def flank_trace(
     alpha_scaled,
     m: int,
     W: int,
-) -> FlankTraceOut:
+):
+    """Packed [H, 4] int32: text_start, region_lo, region_hi, has_region."""
     windows = _gather_windows(rows, row_idx, win_start, W)
-    # zero out beyond the window length (content after end_j is garbage)
     jpos = jnp.arange(W, dtype=jnp.int32)
     windows = jnp.where(jpos[None, :] < end_j[:, None], windows, 0)
     wdp = window_dp(pattern[None, :], windows, left_edge, right_pos, alpha_scaled)
@@ -127,43 +136,40 @@ def flank_trace(
         m=m,
         W=W,
     )
-    return FlankTraceOut(
-        text_start=tr.text_start[:, 0],
-        region_lo=tr.region_lo[:, 0],
-        region_hi=tr.region_hi[:, 0],
-        has_region=tr.has_region[:, 0],
-    )
-
-
-class BarcodeRankOut(NamedTuple):
-    top_idx: jnp.ndarray  # [H] winning pattern index
-    accepted: jnp.ndarray  # [H] passed min-score thresholds
-    read_bar_start: jnp.ndarray  # [H] window-relative
-    read_bar_end: jnp.ndarray  # [H]
-    bar_start: jnp.ndarray  # [H] pattern-relative
-    bar_end: jnp.ndarray  # [H]
-    bar_cost: jnp.ndarray  # [H]
-    has_interval: jnp.ndarray  # [H]
+    return jnp.stack(
+        [
+            tr.text_start[:, 0],
+            tr.region_lo[:, 0],
+            tr.region_hi[:, 0],
+            tr.has_region[:, 0].astype(jnp.int32),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "W"))
 def barcode_rank(
-    patterns,  # [P, m]
+    patterns,  # [2P, m] fwd stack then rc stack
     rows,  # [R_total, L]
     row_idx,  # [H]
     win_start,  # [H]
     w_len,  # [H]
-    hvalid,  # [H] hit is live
+    strand_sel,  # [H] 0 = fwd half, 1 = rc half
+    hvalid,  # [H]
     k1_scaled,
     iv_a,
     iv_b,
     perfect,  # f32 scalar
-    min_score,  # f32 scalar
-    min_score_diff,  # f32 scalar
+    min_score,
+    min_score_diff,
     m: int,
     W: int,
-) -> BarcodeRankOut:
-    P = patterns.shape[0]
+):
+    """Packed [H, 8] int32: top_idx (within half), accepted,
+    read_bar_start, read_bar_end, bar_start, bar_end, bar_cost,
+    has_interval."""
+    P2 = patterns.shape[0]
+    P = P2 // 2
     windows = _gather_windows(rows, row_idx, win_start, W)
     jpos = jnp.arange(W, dtype=jnp.int32)
     windows = jnp.where(jpos[None, :] < w_len[:, None], windows, 0)
@@ -174,9 +180,11 @@ def barcode_rank(
     bdp = window_dp(patterns, windows, no_edge, no_right, jnp.int32(UNIT))
     best = best_valley_per_pattern(bdp.ends, w_len)
 
-    matched = (best.cost <= k1_scaled).sum(axis=1)
+    half = (jnp.arange(P2, dtype=jnp.int32)[None, :] // P) == strand_sel[:, None]
+    in_k1 = half & (best.cost <= k1_scaled)
+    matched = in_k1.sum(axis=1)
     use_all = matched <= 1
-    cand = (use_all[:, None] | (best.cost <= k1_scaled)) & hvalid[:, None]
+    cand = jnp.where(use_all[:, None], half, in_k1) & hvalid[:, None]
 
     tr = traceback_reduce(
         bdp.moves,
@@ -193,7 +201,7 @@ def barcode_rank(
     scores = jnp.where(cand, tr.lodhi / perfect, -jnp.inf)
     top = jnp.argmax(scores, axis=1).astype(jnp.int32)
     top_norm = jnp.take_along_axis(scores, top[:, None], axis=1)[:, 0]
-    rest = jnp.where(jnp.arange(P)[None, :] == top[:, None], -jnp.inf, scores)
+    rest = jnp.where(jnp.arange(P2)[None, :] == top[:, None], -jnp.inf, scores)
     second_norm = jnp.max(rest, axis=1)
     n_cand = cand.sum(axis=1)
 
@@ -205,13 +213,16 @@ def barcode_rank(
     def pick(arr):
         return jnp.take_along_axis(arr, top[:, None], axis=1)[:, 0]
 
-    return BarcodeRankOut(
-        top_idx=top,
-        accepted=accepted,
-        read_bar_start=pick(tr.iv_pj),
-        read_bar_end=pick(tr.iv_ej) + 1,
-        bar_start=pick(tr.iv_pi),
-        bar_end=pick(tr.iv_ei) + 1,
-        bar_cost=pick(tr.iv_cost),
-        has_interval=pick(tr.has_interval.astype(jnp.int32)) > 0,
-    )
+    return jnp.stack(
+        [
+            top % P,
+            accepted.astype(jnp.int32),
+            pick(tr.iv_pj),
+            pick(tr.iv_ej) + 1,
+            pick(tr.iv_pi),
+            pick(tr.iv_ei) + 1,
+            pick(tr.iv_cost),
+            pick(tr.has_interval.astype(jnp.int32)),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
