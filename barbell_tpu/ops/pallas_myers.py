@@ -1,0 +1,211 @@
+"""Pallas TPU kernel: bit-parallel Myers flank scan with in-kernel
+valley emission.
+
+The flank end-cost scan is the pipeline's dominant compute.  The jnp
+row-scan (ops/device.flank_ends) costs ~15 vector passes per pattern
+row over [rows, L]; this kernel instead runs Myers' bit-parallel
+recurrence — the whole pattern lives in ``W = ceil(m/32)`` u32 words
+per lane, and each text position costs ~30 bit-ops per word on fully
+packed (8, 128) VPU tiles with reads as lanes.
+
+Semantics: unit-cost semiglobal search (column-0 boundary = ``i``,
+i.e. no overhang alpha).  The alpha-aware boundary windows (first
+``m+k+1`` positions and the read-end position) are recomputed exactly
+by the caller with the jnp scan and merged — overhang never influences
+end-cost values ≤ k outside those windows (see docs/SEMANTICS.md).
+
+Emission: the kernel writes, for every text position j within the
+per-lane ``[emit_lo, emit_hi]`` range, the end cost (in edit units) if
+position j is a plateau-valley minimum with cost <= k, else 255.
+Position 0 is never emitted (requires k < m, true for all flanks).
+
+Layout: text transposed to [L, R/128, 128]; grid (R/1024, L/CL) with
+the L dimension innermost so the per-lane state (Pv/Mv words, running
+score, trailing cost window) persists across L blocks in scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+TILE = LANES * SUBLANES  # reads per grid row-block
+
+_BIGU = jnp.int32(1 << 20)
+
+
+def pattern_words(pattern_masks: np.ndarray):
+    """(words [4, W] uint32, W, top_bit) — per-base membership bitvectors."""
+    m = len(pattern_masks)
+    W = (m + 31) // 32
+    words = np.zeros((4, W), dtype=np.uint32)
+    for i, mask in enumerate(pattern_masks):
+        w, b = divmod(i, 32)
+        for base in range(4):
+            if mask & (1 << base):
+                words[base, w] |= np.uint32(1 << b)
+    return words, W, (m - 1) % 32
+
+
+def _kernel(patw_ref, k_ref, m_ref, text_ref, lo_ref, hi_ref, out_ref,
+            pv_ref, mv_ref, st_ref, *, W: int, top_bit: int, CL: int):
+    l_blk = pl.program_id(1)
+
+    @pl.when(l_blk == 0)
+    def _init():
+        pv_ref[...] = jnp.full(pv_ref.shape, 0xFFFFFFFF, dtype=jnp.uint32)
+        mv_ref[...] = jnp.zeros(mv_ref.shape, dtype=jnp.uint32)
+        m = m_ref[0]
+        st_ref[0] = jnp.full((SUBLANES, LANES), m, dtype=jnp.int32)  # ends[j]
+        st_ref[1] = jnp.full((SUBLANES, LANES), 2**20, dtype=jnp.int32)  # ends[j-1]
+
+    k = k_ref[0]
+    emit_lo = lo_ref[...]
+    emit_hi = hi_ref[...]
+    j0 = l_blk * CL
+
+    def step(t, _):
+        tvec = text_ref[t].astype(jnp.int32)  # (8, 128)
+        ta = (tvec & 1) > 0
+        tc = (tvec & 2) > 0
+        tg = (tvec & 4) > 0
+        tt = (tvec & 8) > 0
+
+        sc = jnp.zeros((SUBLANES, LANES), dtype=jnp.uint32)
+        ph_in = jnp.zeros((SUBLANES, LANES), dtype=jnp.uint32)
+        mh_in = jnp.zeros((SUBLANES, LANES), dtype=jnp.uint32)
+        zero = jnp.zeros((SUBLANES, LANES), dtype=jnp.uint32)
+        ph_top = zero
+        mh_top = zero
+
+        for w in range(W):
+            eq = (
+                jnp.where(ta, patw_ref[0, w], zero)
+                | jnp.where(tc, patw_ref[1, w], zero)
+                | jnp.where(tg, patw_ref[2, w], zero)
+                | jnp.where(tt, patw_ref[3, w], zero)
+            )
+            pv = pv_ref[w]
+            mv = mv_ref[w]
+            xv = eq | mv
+            t1 = eq & pv
+            s1 = t1 + pv
+            c1 = (s1 < t1).astype(jnp.uint32)
+            s2 = s1 + sc
+            c2 = (s2 < s1).astype(jnp.uint32)
+            sc = c1 | c2
+            xh = (s2 ^ pv) | eq
+            ph = mv | ~(xh | pv)
+            mh = pv & xh
+            if w == W - 1:
+                ph_top = (ph >> top_bit) & 1
+                mh_top = (mh >> top_bit) & 1
+            ph_s = (ph << 1) | ph_in
+            ph_in = ph >> 31
+            mh_s = (mh << 1) | mh_in
+            mh_in = mh >> 31
+            pv_ref[w] = mh_s | ~(xv | ph_s)
+            mv_ref[w] = ph_s & xv
+
+        e_cur = st_ref[0]
+        e_prev = st_ref[1]
+        e_next = e_cur + ph_top.astype(jnp.int32) - mh_top.astype(jnp.int32)
+
+        j = j0 + t  # deciding position j with (e_prev, e_cur, e_next)
+        valley = (
+            (e_cur <= k)
+            & (e_cur <= e_prev)
+            & (e_cur < e_next)
+            & (j >= emit_lo)
+            & (j <= emit_hi)
+        )
+        out_ref[t] = jnp.where(valley, e_cur, 255).astype(jnp.uint8)
+
+        st_ref[1] = e_cur
+        st_ref[0] = e_next
+        return 0
+
+    jax.lax.fori_loop(0, CL, step, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("W", "top_bit", "CL", "interpret")
+)
+def _myers_call(patw, k_units, m, text_t, emit_lo, emit_hi, *, W, top_bit, CL,
+                interpret):
+    L, G, _ = text_t.shape
+    R = G * LANES
+    grid = (R // TILE, L // CL)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, W=W, top_bit=top_bit, CL=CL),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # patw [4, W]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # k [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # m [1]
+            pl.BlockSpec(
+                (CL, SUBLANES, LANES), lambda r, l: (l, r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (SUBLANES, LANES), lambda r, l: (r, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (SUBLANES, LANES), lambda r, l: (r, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (CL, SUBLANES, LANES), lambda r, l: (l, r, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, G, LANES), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((W, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((W, SUBLANES, LANES), jnp.uint32),
+            pltpu.VMEM((2, SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(patw, k_units, m, text_t, emit_lo, emit_hi)
+    return out
+
+
+def myers_valleys(
+    pattern_masks,  # np.uint8 [m] (host constant)
+    rows,  # jnp [R, L] uint8, R % 1024 == 0
+    emit_lo,  # jnp [R] int32
+    emit_hi,  # jnp [R] int32
+    k_units: "jnp.ndarray",  # int32 scalar array
+    CL: int = 2048,
+    interpret: bool = False,
+):
+    """Valley-cost map [R, L] uint8 (cost in edit units, 255 = none)."""
+    patw_np, W, top_bit = pattern_words(np.asarray(pattern_masks))
+    m = len(pattern_masks)
+    R, L = rows.shape
+    assert R % TILE == 0, R
+    CL = min(CL, L)
+    assert L % CL == 0, (L, CL)
+
+    text_t = jnp.transpose(rows, (1, 0)).reshape(L, R // LANES, LANES)
+    lo2 = emit_lo.reshape(R // LANES, LANES)
+    hi2 = emit_hi.reshape(R // LANES, LANES)
+    out = _myers_call(
+        jnp.asarray(patw_np),
+        jnp.asarray([k_units], dtype=jnp.int32).reshape(1),
+        jnp.asarray([m], dtype=jnp.int32).reshape(1),
+        text_t,
+        lo2.astype(jnp.int32),
+        hi2.astype(jnp.int32),
+        W=W,
+        top_bit=top_bit,
+        CL=CL,
+        interpret=interpret,
+    )
+    return jnp.transpose(out.reshape(L, R), (1, 0))
