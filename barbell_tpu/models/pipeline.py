@@ -6,23 +6,23 @@ Orchestrates the fused device composites in
 (:mod:`barbell_tpu.models.demux`) — that equivalence is enforced by
 tests.
 
-Per batch the engine issues a handful of fused device calls per
-(group, strand) with the padded row buffer staying device-resident
-throughout (critical under a ~30ms-round-trip remote TPU):
+Per batch the engine issues a handful of fused device calls per group —
+one flank scan (Pallas Myers interior + exact alpha boundary windows on
+TPU), one flank traceback over both strands' hits, and one barcode-rank
+call per strand (dispatched together, fetched together).  Each call
+returns a single packed int32 array; the padded row buffer stays
+device-resident throughout; input rows ship nibble-packed (2 bases per
+byte).
 
-1. ``flank_scan`` — rc rows are synthesized on device, the flank
-   end-cost scan runs over all rows, valleys are compacted to top-K.
-2. ``flank_trace`` — per-hit windows are gathered from the row buffer
-   on device; the traceback maps the barcode mask region to read
-   coordinates.
-3. ``barcode_rank`` — barcode windows gathered on device, 96-pattern
-   DP, candidate fallback, Lodhi rescoring, min-score selection.
-
-Long reads are split into fixed-width chunk rows with a halo overlap
-(``max flank span + PADDING + 2``) so every within-threshold flank
-match — and its padded barcode window — lives entirely inside one
-chunk row; chunk valid-ranges partition the read's end positions
-exactly, so chunked results equal whole-read results.
+Row coordinate model: a device row holds text in columns
+``[tsc, tec]``.  Forward rows are left-aligned (tsc=0); rc rows are
+synthesized on device by flip+complement, so their content is
+right-aligned (tsc = L - n).  Long reads are split into fixed-width
+chunk rows with a halo overlap (``max flank span + PADDING + 2``) so
+every within-threshold flank match — and its padded barcode window —
+lives entirely inside one chunk row; chunk valid-ranges partition the
+read's end positions exactly, so chunked results equal whole-read
+results.
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ import numpy as np
 from .. import PADDING
 from ..ops import composite as comp
 from ..ops import oracle
+from ..ops.pallas_myers import pattern_words
 from ..ops.lodhi import perfect_score
 from ..utils import dna
 from .barcodes import BarcodeGroup
@@ -54,13 +55,31 @@ def _pow2_at_least(x: int, lo: int = 8) -> int:
 
 
 @dataclass
+class _Row:
+    strand: Strand
+    read_idx: int
+    offset: int  # text offset of this row's content within the read
+    tsc: int  # text start column within the row
+    tec: int  # text end column within the row
+    true_start: bool  # row contains the read's true start (at tsc)
+    true_end: bool  # row contains the read's true end (at tec)
+    lo: int  # valid end-position range, column coords
+    hi: int
+
+
+@dataclass
 class _Hit:
     read_idx: int
     strand: Strand
-    end_abs: int  # absolute end position in strand-space text
+    end_abs: int  # end position in strand-space text coords
+    end_col: int  # end position in row column coords
     cost: int  # scaled
-    row: int  # row index in the device buffer
-    row_offset: int  # the row's offset within the strand-space text
+    row: int
+    row_offset: int
+    row_tsc: int
+    true_start: bool
+    true_end: bool
+    tec: int
 
 
 class _GroupPlan:
@@ -83,23 +102,12 @@ class _GroupPlan:
         self.rel_bar_end = self.mask_end - pad_start
         mask_len = self.mask_end - self.mask_start + 1
         self.barcode_window = mask_len + self.k_units + 2 * PADDING + 2
+        self.patw, self.W_words, self.top_bit = pattern_words(self.flank)
         self.perfect = perfect_score(group.pad_region[1] - group.pad_region[0])
         self.patterns = {
             Strand.Fwd: np.asarray(group.patterns_fwd, dtype=np.uint8),
             Strand.Rc: np.asarray(group.patterns_rc, dtype=np.uint8),
         }
-
-
-class _RowPlan:
-    """Host bookkeeping for one batch's device row buffer."""
-
-    def __init__(self):
-        # per device row: (strand, read_idx, offset, end_col, is_first, lo, hi)
-        self.meta: List[Tuple[Strand, int, int, int, bool, int, int]] = []
-        # fwd chunk coverage per long read: read_idx -> [(offset, row)]
-        self.fwd_cover: Dict[int, List[Tuple[int, int]]] = {}
-        # fwd simple row per read
-        self.fwd_simple_row: Dict[int, int] = {}
 
 
 class JaxDemuxEngine:
@@ -111,6 +119,7 @@ class JaxDemuxEngine:
         min_score_diff: float = 0.1,
         max_row_len: int = MAX_ROW_LEN,
         max_hits_per_row: int = MAX_HITS_PER_ROW,
+        use_pallas: Optional[bool] = None,
     ):
         import jax  # deferred so the oracle path works without jax
 
@@ -126,6 +135,16 @@ class JaxDemuxEngine:
         self.plans = [_GroupPlan(g) for g in self.groups]
         self.halo = max(p.span for p in self.plans) + PADDING + 2
         self._fallback: Optional[Demuxer] = None
+
+        self._on_cpu = jax.devices()[0].platform == "cpu"
+        if use_pallas is None:
+            # Interpret-mode pallas on CPU is only for targeted tests.
+            use_pallas = not self._on_cpu
+        # Valley keys must fit int32: cost*UNIT*(L+2)+col.
+        max_k = max(p.k_units for p in self.plans)
+        if max_k * oracle.COST_SCALE * (max_row_len + 2) >= 2**31:
+            use_pallas = False
+        self.use_pallas = bool(use_pallas)
 
     # ------------------------------------------------------------------
 
@@ -153,46 +172,41 @@ class JaxDemuxEngine:
         if B == 0 or lens.max(initial=0) == 0:
             return [[] for _ in seqs]
 
-        row_len = int(min(self.max_row_len, max(int(lens.max()), self.halo + 2)))
-        row_len = min(_pow2_at_least(row_len, lo=256), self.max_row_len)
-        if row_len <= self.halo + PADDING + 2:
-            row_len = min(
-                _pow2_at_least(self.halo + PADDING + 3, lo=256), self.max_row_len
-            )
-        step = row_len - PADDING - self.halo
+        L = int(min(self.max_row_len, max(int(lens.max()), self.halo + 2)))
+        L = min(_pow2_at_least(L, lo=256), self.max_row_len)
+        if L <= self.halo + PADDING + 2:
+            L = min(_pow2_at_least(self.halo + PADDING + 3, lo=256), self.max_row_len)
+        step = L - PADDING - self.halo
         assert step > 0
 
-        plan = _RowPlan()
-        simple_reads: List[int] = []  # read idx per simple row (order)
-        host_rows_list: List[Tuple[int, Strand, int, np.ndarray]] = []
-        # host rows: fwd simple rows first, then fwd+rc chunk rows of long reads
-
-        def add_meta(strand, ridx, offset, end_col, is_first, lo, hi):
-            plan.meta.append((strand, ridx, offset, end_col, is_first, lo, hi))
+        rows_meta: List[_Row] = []
+        host_content: List[np.ndarray] = []
+        simple_reads: List[int] = []
+        fwd_simple_row: Dict[int, int] = {}
+        fwd_cover: Dict[int, List[Tuple[int, int]]] = {}
 
         # --- simple reads (fit one row) --------------------------------
         for ridx, arr in enumerate(fwd):
             n = len(arr)
-            if n == 0 or n > row_len:
+            if n == 0 or n > L:
                 continue
-            plan.fwd_simple_row[ridx] = len(plan.meta)
+            fwd_simple_row[ridx] = len(rows_meta)
             simple_reads.append(ridx)
-            host_rows_list.append((ridx, Strand.Fwd, 0, arr))
-            add_meta(Strand.Fwd, ridx, 0, n, True, 0, n)
+            host_content.append(arr)
+            rows_meta.append(_Row(Strand.Fwd, ridx, 0, 0, n, True, True, 0, n))
 
         # --- long reads: host-built fwd + rc chunk rows ----------------
-        def chunk_spans(n: int) -> List[Tuple[int, int, bool, bool]]:
-            """(offset, length, is_first, is_last) covering [0, n]."""
+        def chunk_spans(n: int):
             out = []
             offset = 0
             while True:
-                if offset + row_len >= n:
+                if offset + L >= n:
                     out.append((offset, n - offset, offset == 0, True))
                     return out
-                out.append((offset, row_len, offset == 0, False))
+                out.append((offset, L, offset == 0, False))
                 offset += step
 
-        long_reads = [r for r, arr in enumerate(fwd) if len(arr) > row_len]
+        long_reads = [r for r, arr in enumerate(fwd) if len(arr) > L]
         for ridx in long_reads:
             arr = fwd[ridx]
             n = len(arr)
@@ -200,108 +214,109 @@ class JaxDemuxEngine:
             cover = []
             for strand, text in ((Strand.Fwd, arr), (Strand.Rc, rc_arr)):
                 for offset, length, is_first, is_last in chunk_spans(n):
-                    row = len(plan.meta)
                     if strand is Strand.Fwd:
-                        cover.append((offset, row))
-                    host_rows_list.append(
-                        (ridx, strand, offset, text[offset : offset + length])
-                    )
-                    end_col = length if is_last else row_len + 2
+                        cover.append((offset, len(rows_meta)))
+                    host_content.append(text[offset : offset + length])
                     lo = 0 if is_first else self.halo + 1
-                    hi = length if is_last else row_len - 1 - PADDING
-                    add_meta(strand, ridx, offset, end_col, is_first, lo, hi)
-            plan.fwd_cover[ridx] = cover
+                    hi = length if is_last else L - 1 - PADDING
+                    rows_meta.append(
+                        _Row(strand, ridx, offset, 0, length, is_first, is_last, lo, hi)
+                    )
+            fwd_cover[ridx] = cover
 
-        R_host = len(host_rows_list)
+        R_host = len(rows_meta)
         S = len(simple_reads)
         R_host_pad = _pow2_at_least(max(R_host, 1), lo=8)
         S_pad = _pow2_at_least(max(S, 1), lo=8)
         R_total_pad = R_host_pad + S_pad
 
-        host_rows = np.zeros((R_host_pad, row_len), dtype=np.uint8)
-        for r, (_ridx, _strand, _off, content) in enumerate(host_rows_list):
+        host_rows = np.zeros((R_host_pad, L), dtype=np.uint8)
+        for r, content in enumerate(host_content):
             host_rows[r, : len(content)] = content
 
         simple_idx = np.zeros(S_pad, dtype=np.int32)
-        simple_lens = np.zeros(S_pad, dtype=np.int32)
-        # rc simple rows appended after host rows, in simple_reads order
+        # rc simple rows occupy device rows [R_host_pad, R_host_pad + S)
+        row_of_meta: List[int] = list(range(R_host))
         for i, ridx in enumerate(simple_reads):
-            simple_idx[i] = plan.fwd_simple_row[ridx]
-            simple_lens[i] = lens[ridx]
-            add_meta(
-                Strand.Rc, ridx, 0, int(lens[ridx]), True, 0, int(lens[ridx])
-            )
-        # NOTE: rc simple row i sits at device row R_host_pad + i; meta rows
-        # for them were appended in order — build a row->meta map:
-        row_to_meta: Dict[int, int] = {}
-        mi = 0
-        for r in range(R_host):
-            row_to_meta[r] = mi
-            mi += 1
-        for i in range(S):
-            row_to_meta[R_host_pad + i] = mi
-            mi += 1
+            simple_idx[i] = fwd_simple_row[ridx]
+            n = int(lens[ridx])
+            tsc = L - n
+            rows_meta.append(_Row(Strand.Rc, ridx, 0, tsc, L, True, True, tsc, L))
+            row_of_meta.append(R_host_pad + i)
 
-        end_col = np.full(R_total_pad, row_len + 2, dtype=np.int32)
-        is_first = np.zeros(R_total_pad, dtype=bool)
+        start_col = np.full(R_total_pad, -1, dtype=np.int32)
+        end_col = np.full(R_total_pad, L + 2, dtype=np.int32)
         lo_arr = np.zeros(R_total_pad, dtype=np.int32)
         hi_arr = np.full(R_total_pad, -1, dtype=np.int32)
-        for row, mi in row_to_meta.items():
-            _strand, _ridx, _off, ecol, first, lo, hi = plan.meta[mi]
-            end_col[row] = ecol
-            is_first[row] = first
-            lo_arr[row] = lo
-            hi_arr[row] = hi
+        for mi, rowm in enumerate(rows_meta):
+            r = row_of_meta[mi]
+            start_col[r] = rowm.tsc if rowm.true_start else -1
+            end_col[r] = rowm.tec if rowm.true_end else L + 2
+            lo_arr[r] = rowm.lo
+            hi_arr[r] = rowm.hi
 
-        dev_args = dict(
-            host_rows=jnp.asarray(host_rows),
-            simple_idx=jnp.asarray(simple_idx),
-            simple_lens=jnp.asarray(simple_lens),
-            end_col=jnp.asarray(end_col),
-            is_first=jnp.asarray(is_first),
-            lo=jnp.asarray(lo_arr),
-            hi=jnp.asarray(hi_arr),
-        )
+        host_packed_dev = jnp.asarray(comp.pack_rows_np(host_rows))
 
         results: List[List[BarbellMatch]] = [[] for _ in seqs]
         overflow_reads: set = set()
 
         for gplan in self.plans:
+            mk = gplan.m + gplan.k_units
+            emit_lo = np.zeros(R_total_pad, dtype=np.int32)
+            emit_hi = np.full(R_total_pad, -1, dtype=np.int32)
+            for mi, rowm in enumerate(rows_meta):
+                r = row_of_meta[mi]
+                emit_lo[r] = rowm.tsc + mk + 2 if rowm.true_start else rowm.lo
+                emit_hi[r] = min(rowm.hi, rowm.tec - 2) if rowm.true_end else rowm.hi
+
             scan = comp.flank_scan(
                 jnp.asarray(gplan.flank),
-                dev_args["host_rows"],
-                dev_args["simple_idx"],
-                dev_args["simple_lens"],
-                dev_args["end_col"],
-                dev_args["is_first"],
-                dev_args["lo"],
-                dev_args["hi"],
-                jnp.int32(gplan.k_scaled),
+                jnp.asarray(gplan.patw),
+                host_packed_dev,
+                jnp.asarray(simple_idx),
+                jnp.asarray(start_col),
+                jnp.asarray(end_col),
+                jnp.asarray(lo_arr),
+                jnp.asarray(hi_arr),
+                jnp.asarray(emit_lo),
+                jnp.asarray(emit_hi),
                 jnp.int32(self.alpha_scaled),
-                self.K,
+                K=self.K,
+                use_pallas=self.use_pallas,
+                interpret=self._on_cpu,
+                m=gplan.m,
+                k_units=gplan.k_units,
+                W_words=gplan.W_words,
+                top_bit=gplan.top_bit,
             )
             rows_dev = scan.rows
-            pos, cost, valid, count = comp.unpack_flank_scan(
+            col, cost, valid, count = comp.unpack_flank_scan(
                 np.asarray(scan.packed), self.K
             )
 
             hits: Dict[Strand, List[_Hit]] = {Strand.Fwd: [], Strand.Rc: []}
-            for row, mi in row_to_meta.items():
-                strand, ridx, offset, _e, _f, _lo, _hi = plan.meta[mi]
-                if count[row] > self.K:
-                    overflow_reads.add(ridx)
+            for mi, rowm in enumerate(rows_meta):
+                r = row_of_meta[mi]
+                if count[r] > self.K:
+                    overflow_reads.add(rowm.read_idx)
                     continue
                 for k in range(self.K):
-                    if not valid[row, k]:
+                    if not valid[r, k]:
                         continue
-                    hits[strand].append(
+                    c = int(col[r, k])
+                    hits[rowm.strand].append(
                         _Hit(
-                            read_idx=ridx,
-                            strand=strand,
-                            end_abs=int(offset + pos[row, k]),
-                            cost=int(cost[row, k]),
-                            row=row,
-                            row_offset=offset,
+                            read_idx=rowm.read_idx,
+                            strand=rowm.strand,
+                            end_abs=rowm.offset + (c - rowm.tsc),
+                            end_col=c,
+                            cost=int(cost[r, k]),
+                            row=r,
+                            row_offset=rowm.offset,
+                            row_tsc=rowm.tsc,
+                            true_start=rowm.true_start,
+                            true_end=rowm.true_end,
+                            tec=rowm.tec,
                         )
                     )
 
@@ -310,14 +325,19 @@ class JaxDemuxEngine:
             live = [
                 h
                 for strand in (Strand.Fwd, Strand.Rc)
-                for h in sorted(
-                    hits[strand], key=lambda h: (h.read_idx, h.end_abs)
-                )
+                for h in sorted(hits[strand], key=lambda h: (h.read_idx, h.end_abs))
                 if h.read_idx not in overflow_reads
             ]
             if live:
                 self._process_hits(
-                    gplan, live, rows_dev, plan, lens, results, read_ids
+                    gplan,
+                    live,
+                    rows_dev,
+                    fwd_simple_row,
+                    fwd_cover,
+                    lens,
+                    results,
+                    read_ids,
                 )
 
         for ridx in overflow_reads:
@@ -334,21 +354,20 @@ class JaxDemuxEngine:
     # ------------------------------------------------------------------
 
     def _fwd_row_for_window(
-        self, plan: _RowPlan, ridx: int, bstart: int, bend: int, row_len: int
+        self, fwd_simple_row, fwd_cover, ridx: int, bstart: int, bend: int, L: int
     ) -> Tuple[int, int]:
         """(row, offset) of a fwd row fully covering [bstart, bend)."""
-        simple = plan.fwd_simple_row.get(ridx)
+        simple = fwd_simple_row.get(ridx)
         if simple is not None:
             return simple, 0
-        cover = plan.fwd_cover[ridx]
-        best = cover[0]
-        for offset, row in cover:
+        best = fwd_cover[ridx][0]
+        for offset, row in fwd_cover[ridx]:
             if offset <= bstart:
                 best = (offset, row)
             else:
                 break
         offset, row = best
-        assert bend <= offset + row_len, "barcode window escapes its chunk row"
+        assert bend <= offset + L, "barcode window escapes its chunk row"
         return row, offset
 
     def _process_hits(
@@ -356,18 +375,19 @@ class JaxDemuxEngine:
         gplan: _GroupPlan,
         hits: List[_Hit],
         rows_dev,
-        rplan: _RowPlan,
+        fwd_simple_row,
+        fwd_cover,
         lens: np.ndarray,
         results: List[List[BarbellMatch]],
         read_ids: List[str],
     ) -> None:
         jnp = self._jnp
-        row_len = int(rows_dev.shape[1])
+        L = int(rows_dev.shape[1])
         H = len(hits)
         H_pad = _pow2_at_least(H, lo=8)
         Wf = gplan.span
 
-        # ---- Stage 2: flank traceback ---------------------------------
+        # ---- Stage 2: flank traceback (both strands, one call) --------
         row_idx = np.zeros(H_pad, dtype=np.int32)
         win_start = np.zeros(H_pad, dtype=np.int32)
         left_edge = np.zeros(H_pad, dtype=bool)
@@ -375,15 +395,13 @@ class JaxDemuxEngine:
         end_j = np.zeros(H_pad, dtype=np.int32)
         hvalid = np.zeros(H_pad, dtype=bool)
         for h, hit in enumerate(hits):
-            n = int(lens[hit.read_idx])
-            j_local = hit.end_abs - hit.row_offset
-            s_local = max(0, j_local - Wf)
-            s_abs = hit.row_offset + s_local
+            s_col = max(hit.row_tsc, hit.end_col - Wf)
             row_idx[h] = hit.row
-            win_start[h] = s_local
-            left_edge[h] = s_abs == 0
-            end_j[h] = j_local - s_local
-            right_pos[h] = end_j[h] if hit.end_abs == n else -1
+            win_start[h] = s_col
+            w_len = hit.end_col - s_col
+            end_j[h] = w_len
+            left_edge[h] = hit.true_start and s_col == hit.row_tsc
+            right_pos[h] = w_len if (hit.true_end and hit.end_col == hit.tec) else -1
             hvalid[h] = True
 
         tr = np.asarray(
@@ -409,14 +427,18 @@ class JaxDemuxEngine:
         has_region = tr[:, 3] != 0
 
         # ---- Host: regions -> fwd barcode windows ---------------------
-        sub = []  # (hit, flank_start_abs, bstart, bend, fwd_row, fwd_off)
+        sub: Dict[Strand, List[Tuple[_Hit, int, int, int, int, int]]] = {
+            Strand.Fwd: [],
+            Strand.Rc: [],
+        }
         for h, hit in enumerate(hits):
             if not has_region[h]:
                 continue
             n = int(lens[hit.read_idx])
-            s_abs = hit.row_offset + int(win_start[h])
-            lo = s_abs + int(region_lo[h])
-            hi = s_abs + int(region_hi[h])
+            # window-relative -> strand text coords
+            s_text = hit.row_offset + (int(win_start[h]) - hit.row_tsc)
+            lo = s_text + int(region_lo[h])
+            hi = s_text + int(region_hi[h])
             if hit.strand is Strand.Rc:
                 lo, hi = n - hi, n - lo
             bstart = max(0, lo - PADDING)
@@ -424,39 +446,35 @@ class JaxDemuxEngine:
             if bend <= bstart:
                 continue
             frow, foff = self._fwd_row_for_window(
-                rplan, hit.read_idx, bstart, bend, row_len
+                fwd_simple_row, fwd_cover, hit.read_idx, bstart, bend, L
             )
-            sub.append((hit, s_abs + int(flank_start_w[h]), bstart, bend, frow, foff))
+            sub[hit.strand].append(
+                (hit, s_text + int(flank_start_w[h]), bstart, bend, frow, foff)
+            )
 
-        if not sub:
-            return
-        H2 = len(sub)
-        H2_pad = _pow2_at_least(H2, lo=8)
-        Wb = gplan.barcode_window
-
-        b_row = np.zeros(H2_pad, dtype=np.int32)
-        b_start = np.zeros(H2_pad, dtype=np.int32)
-        b_len = np.zeros(H2_pad, dtype=np.int32)
-        b_valid = np.zeros(H2_pad, dtype=bool)
-        strand_sel = np.zeros(H2_pad, dtype=np.int32)
-        for h, (hit, _fs, bstart, bend, frow, foff) in enumerate(sub):
-            b_row[h] = frow
-            b_start[h] = bstart - foff
-            b_len[h] = bend - bstart
-            b_valid[h] = True
-            strand_sel[h] = 0 if hit.strand is Strand.Fwd else 1
-
-        patterns2 = np.concatenate(
-            [gplan.patterns[Strand.Fwd], gplan.patterns[Strand.Rc]], axis=0
-        )
-        rank = np.asarray(
-            comp.barcode_rank(
-                jnp.asarray(patterns2),
+        # ---- Stage 3: barcode rank, one call per strand (async) -------
+        pending = []
+        for strand in (Strand.Fwd, Strand.Rc):
+            entries = sub[strand]
+            if not entries:
+                continue
+            H2_pad = _pow2_at_least(len(entries), lo=8)
+            Wb = gplan.barcode_window
+            b_row = np.zeros(H2_pad, dtype=np.int32)
+            b_start = np.zeros(H2_pad, dtype=np.int32)
+            b_len = np.zeros(H2_pad, dtype=np.int32)
+            b_valid = np.zeros(H2_pad, dtype=bool)
+            for h, (hit, _fs, bstart, bend, frow, foff) in enumerate(entries):
+                b_row[h] = frow
+                b_start[h] = bstart - foff  # fwd rows have tsc == 0
+                b_len[h] = bend - bstart
+                b_valid[h] = True
+            rank_dev = comp.barcode_rank(
+                jnp.asarray(gplan.patterns[strand]),
                 rows_dev,
                 jnp.asarray(b_row),
                 jnp.asarray(b_start),
                 jnp.asarray(b_len),
-                jnp.asarray(strand_sel),
                 jnp.asarray(b_valid),
                 jnp.int32(gplan.k1_scaled),
                 jnp.int32(gplan.rel_bar_start),
@@ -467,65 +485,63 @@ class JaxDemuxEngine:
                 m=gplan.plen,
                 W=Wb,
             )
-        )
-        top_idx = rank[:, 0]
-        accepted = rank[:, 1] != 0
-        rb_start = rank[:, 2]
-        rb_end = rank[:, 3]
-        p_start = rank[:, 4]
-        p_end = rank[:, 5]
-        b_cost = rank[:, 6]
-        has_iv = rank[:, 7] != 0
+            pending.append((strand, entries, rank_dev))
 
-        # ---- Row assembly ----------------------------------------------
+        # ---- Row assembly (fetch both strands' results) ----------------
+        # NOTE: assembly must preserve [all fwd hits..., all rc hits...]
+        # order per read, which `pending` iteration provides.
         group = gplan.group
-        for h, (hit, flank_start_abs, bstart, _bend, _frow, _foff) in enumerate(sub):
-            n = int(lens[hit.read_idx])
-            if hit.strand is Strand.Fwd:
-                fs, fe = flank_start_abs, hit.end_abs
-            else:
-                fs, fe = oracle.rc_span_to_fwd(flank_start_abs, hit.end_abs, n)
+        for _strand, entries, rank_dev in pending:
+            rank = np.asarray(rank_dev)
+            for h, (hit, flank_start_text, bstart, _bend, _frow, _foff) in enumerate(
+                entries
+            ):
+                n = int(lens[hit.read_idx])
+                if hit.strand is Strand.Fwd:
+                    fs, fe = flank_start_text, hit.end_abs
+                else:
+                    fs, fe = oracle.rc_span_to_fwd(flank_start_text, hit.end_abs, n)
 
-            if accepted[h]:
-                if not has_iv[h]:
-                    raise RuntimeError("No barcode match region found; unusual")
-                barcode = group.barcodes[int(top_idx[h])]
-                results[hit.read_idx].append(
-                    BarbellMatch(
-                        read_id=read_ids[hit.read_idx],
-                        read_len=n,
-                        rel_dist_to_end=rel_dist_to_end(fs, n),
-                        read_start_bar=bstart + int(rb_start[h]),
-                        read_end_bar=bstart + int(rb_end[h]),
-                        read_start_flank=fs,
-                        read_end_flank=fe,
-                        bar_start=bstart + int(p_start[h]),
-                        bar_end=bstart + int(p_end[h]),
-                        match_type=barcode.match_type,
-                        flank_cost=oracle.cost_to_int(hit.cost),
-                        barcode_cost=int(b_cost[h]),
-                        label=barcode.label,
-                        strand=hit.strand,
-                        cuts=None,
+                if rank[h, 1] != 0:
+                    if rank[h, 7] == 0:
+                        raise RuntimeError("No barcode match region found; unusual")
+                    barcode = group.barcodes[int(rank[h, 0])]
+                    results[hit.read_idx].append(
+                        BarbellMatch(
+                            read_id=read_ids[hit.read_idx],
+                            read_len=n,
+                            rel_dist_to_end=rel_dist_to_end(fs, n),
+                            read_start_bar=bstart + int(rank[h, 2]),
+                            read_end_bar=bstart + int(rank[h, 3]),
+                            read_start_flank=fs,
+                            read_end_flank=fe,
+                            bar_start=bstart + int(rank[h, 4]),
+                            bar_end=bstart + int(rank[h, 5]),
+                            match_type=barcode.match_type,
+                            flank_cost=oracle.cost_to_int(hit.cost),
+                            barcode_cost=int(rank[h, 6]),
+                            label=barcode.label,
+                            strand=hit.strand,
+                            cuts=None,
+                        )
                     )
-                )
-            else:
-                results[hit.read_idx].append(
-                    BarbellMatch(
-                        read_id=read_ids[hit.read_idx],
-                        read_len=n,
-                        rel_dist_to_end=rel_dist_to_end(fs, n),
-                        read_start_bar=fs,
-                        read_end_bar=fe,
-                        read_start_flank=fs,
-                        read_end_flank=fe,
-                        bar_start=0,
-                        bar_end=0,
-                        match_type=group.barcodes[0].match_type.as_flank(),
-                        flank_cost=oracle.cost_to_int(hit.cost),
-                        barcode_cost=len(group.barcodes[0].seq),
-                        label="flank",
-                        strand=hit.strand,
-                        cuts=None,
+                else:
+                    results[hit.read_idx].append(
+                        BarbellMatch(
+                            read_id=read_ids[hit.read_idx],
+                            read_len=n,
+                            rel_dist_to_end=rel_dist_to_end(fs, n),
+                            read_start_bar=fs,
+                            read_end_bar=fe,
+                            read_start_flank=fs,
+                            read_end_flank=fe,
+                            bar_start=0,
+                            bar_end=0,
+                            match_type=group.barcodes[0].match_type.as_flank(),
+                            flank_cost=oracle.cost_to_int(hit.cost),
+                            barcode_cost=len(group.barcodes[0].seq),
+                            label="flank",
+                            strand=hit.strand,
+                            cuts=None,
+                        )
                     )
-                )

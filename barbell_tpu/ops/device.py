@@ -47,24 +47,32 @@ A_GAP = LAM  # width-1 column factor
 
 
 @functools.partial(jax.jit, static_argnames=())
-def flank_ends(pattern, text, lens, is_first, alpha_scaled):
-    """End-cost curve of `pattern` over each (chunked) read.
+def flank_ends(pattern, text, start_col, end_col, alpha_scaled):
+    """End-cost curve of `pattern` over each (chunked) text row.
 
-    pattern:  [m]  uint8 IUPAC masks
-    text:     [B, L] uint8 IUPAC masks (0 beyond each read)
-    lens:     [B] int32 — valid length of each row (chunk)
-    is_first: [B] bool — row starts at the read's true start (overhang
-              boundary applies at column 0)
+    pattern:   [m]  uint8 IUPAC masks
+    text:      [B, L] uint8 IUPAC masks (0 outside each row's text span)
+    start_col: [B] int32 — column of the read's *true start* within the
+               row (overhang boundary: vertical steps there cost alpha),
+               or -1 when the row does not contain the read start.
+    end_col:   [B] int32 — column of the read's true end, or out of
+               range when absent.
     alpha_scaled: int32 — scaled overhang cost
-    returns:  ends [B, L+1] int32 (garbage beyond lens; mask downstream)
+    returns:   ends [B, L+1] int32 (garbage outside each row's valid
+               end range; mask downstream)
+
+    Rows may carry their text anywhere within [start, end] columns —
+    bytes outside match nothing, and any ≤k end-cost within the valid
+    range is unaffected by them (a path crossing them pays a unit per
+    crossed column).
     """
     B, L = text.shape
     m = pattern.shape[0]
     jpos = jnp.arange(L + 1, dtype=jnp.int32)
-    # Vertical step cost into column j: alpha at each read's end column
-    # (right overhang; rows not containing the read end have lens beyond
-    # any overhang-valid position only if caller set lens accordingly).
-    vert = jnp.where(jpos[None, :] == lens[:, None], alpha_scaled, UNIT)
+    boundary_col = (jpos[None, :] == start_col[:, None]) | (
+        jpos[None, :] == end_col[:, None]
+    )
+    vert = jnp.where(boundary_col, alpha_scaled, UNIT)  # [B, L+1]
     unit_j = UNIT * jpos
 
     # Derive the initial carry from `text` so it inherits the same
@@ -72,12 +80,13 @@ def flank_ends(pattern, text, lens, is_first, alpha_scaled):
     # and scan would reject the carry type mismatch).
     C0 = jnp.zeros((B, L + 1), dtype=jnp.int32) + (text[:, :1].astype(jnp.int32) * 0)
     rows = (pattern.astype(jnp.int32), jnp.arange(1, m + 1, dtype=jnp.int32))
+    boundary_step = jnp.where(start_col == 0, alpha_scaled, UNIT)  # [B]
 
     def row_step(C_prev, xs):
         pat_i, i = xs
         eq = (text.astype(jnp.int32) & pat_i) != 0
         sub = jnp.where(eq, 0, UNIT)
-        boundary = jnp.where(is_first, alpha_scaled * i, BIG)  # [B]
+        boundary = boundary_step * i  # [B] — column-0 init
         v = jnp.minimum(C_prev[:, :-1] + sub, C_prev[:, 1:] + vert[:, 1:])
         w = jnp.concatenate([boundary[:, None], v], axis=1)
         u = w - unit_j[None, :]

@@ -178,7 +178,7 @@ def _myers_call(patw, k_units, m, text_t, emit_lo, emit_hi, *, W, top_bit, CL,
 
 def myers_valleys(
     pattern_masks,  # np.uint8 [m] (host constant)
-    rows,  # jnp [R, L] uint8, R % 1024 == 0
+    rows,  # jnp [R, L] uint8
     emit_lo,  # jnp [R] int32
     emit_hi,  # jnp [R] int32
     k_units: "jnp.ndarray",  # int32 scalar array
@@ -187,9 +187,38 @@ def myers_valleys(
 ):
     """Valley-cost map [R, L] uint8 (cost in edit units, 255 = none)."""
     patw_np, W, top_bit = pattern_words(np.asarray(pattern_masks))
-    m = len(pattern_masks)
-    R, L = rows.shape
-    assert R % TILE == 0, R
+    return myers_valleys_from_words(
+        jnp.asarray(patw_np), W, top_bit, len(pattern_masks), rows,
+        emit_lo, emit_hi, k_units, CL=CL, interpret=interpret,
+    )
+
+
+def myers_valleys_from_words(
+    patw,  # [4, W] uint32 (array; may be traced)
+    W: int,
+    top_bit: int,
+    m: int,
+    rows,
+    emit_lo,
+    emit_hi,
+    k_units,
+    CL: int = 2048,
+    interpret: bool = False,
+):
+    """As :func:`myers_valleys` but with precomputed pattern words
+    (jit-traceable)."""
+    R0, L = rows.shape
+    R = ((R0 + TILE - 1) // TILE) * TILE
+    if R != R0:  # pad with dead lanes (emission range empty)
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((R - R0, L), dtype=rows.dtype)], axis=0
+        )
+        emit_lo = jnp.concatenate(
+            [emit_lo, jnp.ones(R - R0, dtype=emit_lo.dtype)], axis=0
+        )
+        emit_hi = jnp.concatenate(
+            [emit_hi, jnp.zeros(R - R0, dtype=emit_hi.dtype)], axis=0
+        )
     CL = min(CL, L)
     assert L % CL == 0, (L, CL)
 
@@ -197,9 +226,9 @@ def myers_valleys(
     lo2 = emit_lo.reshape(R // LANES, LANES)
     hi2 = emit_hi.reshape(R // LANES, LANES)
     out = _myers_call(
-        jnp.asarray(patw_np),
-        jnp.asarray([k_units], dtype=jnp.int32).reshape(1),
-        jnp.asarray([m], dtype=jnp.int32).reshape(1),
+        patw,
+        jnp.asarray(k_units, dtype=jnp.int32).reshape(1),
+        jnp.full((1,), m, dtype=jnp.int32),
         text_t,
         lo2.astype(jnp.int32),
         hi2.astype(jnp.int32),
@@ -208,4 +237,4 @@ def myers_valleys(
         CL=CL,
         interpret=interpret,
     )
-    return jnp.transpose(out.reshape(L, R), (1, 0))
+    return jnp.transpose(out.reshape(L, R), (1, 0))[:R0]

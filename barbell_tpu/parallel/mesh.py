@@ -60,8 +60,8 @@ def sharded_flank_step(mesh: Mesh, K: int = 16):
     stay sharded with their rows.
     """
 
-    def local_step(pattern, rows, end_col, is_first, lo, hi, k_scaled, alpha_scaled):
-        ends = dev.flank_ends(pattern, rows, end_col, is_first, alpha_scaled)
+    def local_step(pattern, rows, start_col, end_col, lo, hi, k_scaled, alpha_scaled):
+        ends = dev.flank_ends(pattern, rows, start_col, end_col, alpha_scaled)
         hits = dev.find_hits(ends, lo, hi, k_scaled, K)
         local_found = jnp.sum(hits.valid.any(axis=1).astype(jnp.int32))
         global_found = jax.lax.psum(local_found, READS_AXIS)

@@ -46,8 +46,8 @@ def test_flank_ends_matches_oracle():
         dev.flank_ends(
             jnp.asarray(pattern),
             jnp.asarray(text),
+            jnp.zeros(B, dtype=np.int32),
             jnp.asarray(lens),
-            jnp.ones(B, dtype=bool),
             np.int32(oracle.scale_alpha(0.4)),
         )
     )
@@ -68,8 +68,8 @@ def test_flank_ends_no_left_edge():
         dev.flank_ends(
             jnp.asarray(pattern),
             jnp.asarray(text),
+            jnp.asarray(np.array([0], np.int32)),
             jnp.asarray(np.array([40], np.int32)),
-            jnp.asarray(np.array([True])),
             np.int32(oracle.scale_alpha(0.4)),
         )
     )[0]
@@ -77,8 +77,8 @@ def test_flank_ends_no_left_edge():
         dev.flank_ends(
             jnp.asarray(pattern),
             jnp.asarray(text),
+            jnp.asarray(np.array([-1], np.int32)),
             jnp.asarray(np.array([40], np.int32)),
-            jnp.asarray(np.array([False])),
             np.int32(oracle.scale_alpha(0.4)),
         )
     )[0]
@@ -101,8 +101,8 @@ def test_find_hits_matches_oracle_valleys():
     ends = dev.flank_ends(
         jnp.asarray(pattern),
         jnp.asarray(text),
+        jnp.zeros(B, dtype=np.int32),
         jnp.asarray(np.full(B, L, np.int32)),
-        jnp.ones(B, dtype=bool),
         np.int32(oracle.COST_SCALE),  # alpha=1 == no special overhang
     )
     hits = dev.find_hits(
@@ -351,3 +351,39 @@ def test_engine_matches_oracle_chunked_long_reads():
     for rid, seq, rows in zip(ids, seqs, got):
         want = scalar.demux(rid, seq)
         assert rows == want, rid
+
+
+@pytest.mark.slow
+def test_engine_pallas_path_matches_oracle():
+    """The Pallas flank-scan path (interpret mode on CPU) must agree with
+    the scalar engine on short synthetic reads."""
+    rng = random.Random(11)
+    groups = BarcodeGroup.from_kit("SQK-RBK110-96")
+    for g in groups:
+        g.barcodes = g.barcodes[:6]
+        g.patterns_fwd = g.patterns_fwd[:6]
+        g.patterns_rc = g.patterns_rc[:6]
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    scalar = Demuxer(alpha=0.4)
+    for g in groups:
+        scalar.add_query_group(g)
+    engine = JaxDemuxEngine(groups, alpha=0.4, use_pallas=True)
+
+    reads = []
+    for i in range(6):
+        body = _random_read(rng, 120)
+        bc = i % 6
+        if i % 3 == 0:
+            seq = _construct(bc) + body  # clean front
+        elif i % 3 == 1:
+            seq = dna.reverse_complement_bytes(_construct(bc) + body)
+        else:
+            seq = _construct(bc)[10:] + body  # left-trimmed (overhang)
+        reads.append((f"p{i}", seq))
+
+    ids = [r[0] for r in reads]
+    seqs = [r[1] for r in reads]
+    got = engine.demux_batch(ids, seqs)
+    for rid, seq, rows in zip(ids, seqs, got):
+        want = scalar.demux(rid, seq)
+        assert rows == want, f"{rid}: {rows} != {want}"

@@ -41,24 +41,24 @@ def test_sharded_step_matches_single_device():
     k = get_edit_cut_off(group.get_effective_len())
     B = 16
     rows, lens = _example_batch(B=B, L=256, seed=3)
-    is_first = np.ones(B, dtype=bool)
+    start = np.zeros(B, dtype=np.int32)
     lo = np.zeros(B, dtype=np.int32)
 
     pattern = jnp.asarray(group.flank_masks)
     k_scaled = np.int32(scale_k(k))
     alpha_scaled = np.int32(scale_alpha(0.4))
 
-    ends = dev.flank_ends(pattern, jnp.asarray(rows), jnp.asarray(lens),
-                          jnp.asarray(is_first), alpha_scaled)
+    ends = dev.flank_ends(pattern, jnp.asarray(rows), jnp.asarray(start),
+                          jnp.asarray(lens), alpha_scaled)
     want = dev.find_hits(ends, jnp.asarray(lo), jnp.asarray(lens), k_scaled, 8)
 
     mesh = make_mesh()
-    rows_s, lens_s, first_s, lo_s, hi_s = shard_rows(
-        mesh, rows, lens, is_first, lo, lens.astype(np.int32)
+    rows_s, start_s, lens_s, lo_s, hi_s = shard_rows(
+        mesh, rows, start, lens, lo, lens.astype(np.int32)
     )
     step = sharded_flank_step(mesh, K=8)
     got, global_found = step(
-        pattern, rows_s, lens_s, first_s, lo_s, hi_s, k_scaled, alpha_scaled
+        pattern, rows_s, start_s, lens_s, lo_s, hi_s, k_scaled, alpha_scaled
     )
 
     assert np.array_equal(np.asarray(got.pos), np.asarray(want.pos))
