@@ -47,6 +47,30 @@ MAX_ROW_LEN = 8192  # chunk width for long reads
 MAX_HITS_PER_ROW = 16  # K for valley compaction
 
 
+def engine_map_batches(engine, batches, depth: int = 2):
+    """Run ``engine.demux_batch`` over an iterator of (ids, seqs) batches
+    with ``depth`` batches in flight on a worker thread.
+
+    Device fetches release the GIL, so one batch's device round trips
+    overlap another batch's host work (and each other, with two
+    workers) — a simple software pipeline that hides most device
+    latency.  Yields (ids, seqs, per_read_matches) in order.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=depth) as pool:
+        inflight = deque()
+        for ids, seqs in batches:
+            inflight.append((ids, seqs, pool.submit(engine.demux_batch, ids, seqs)))
+            while len(inflight) > depth:
+                bids, bseqs, fut = inflight.popleft()
+                yield bids, bseqs, fut.result()
+        while inflight:
+            bids, bseqs, fut = inflight.popleft()
+            yield bids, bseqs, fut.result()
+
+
 def _pow2_at_least(x: int, lo: int = 8) -> int:
     n = lo
     while n < x:

@@ -17,7 +17,8 @@ from ..models.barcodes import BarcodeGroup
 from ..models.demux import Demuxer
 from ..models.records import AnnotationWriter, BarcodeType
 from ..ops.edit_model import get_edit_cut_off
-from ..utils.fastx import iter_fastq_batches, split_fastq_header
+from ..utils.fastx import split_fastq_header
+from ..utils.fastx_native import iter_fastq_batches_auto
 from ..utils.progress import ANNOTATE_METRICS, ProgressTracker
 
 
@@ -112,12 +113,17 @@ def annotate(
         log_dir=log_dir if config.verbose else None,
     )
 
-    with open(out_file, "w") as fh:
-        writer = AnnotationWriter(fh)
-        for batch in iter_fastq_batches(read_files, config.batch_size):
+    def batches():
+        for batch in iter_fastq_batches_auto(read_files, config.batch_size):
             read_ids = [split_fastq_header(h)[0] for h, _s, _q in batch]
             seqs = [s for _h, s, _q in batch]
-            per_read = engine.demux_batch(read_ids, seqs)
+            yield read_ids, seqs
+
+    from ..models.pipeline import engine_map_batches
+
+    with open(out_file, "w") as fh:
+        writer = AnnotationWriter(fh)
+        for read_ids, _seqs, per_read in engine_map_batches(engine, batches()):
             rows = []
             found = 0
             for matches in per_read:
@@ -125,9 +131,9 @@ def annotate(
                     found += 1
                     rows.extend(matches)
             writer.write_rows(rows)
-            progress.add(0, len(batch))
+            progress.add(0, len(read_ids))
             progress.add(1, found)
-            progress.add(2, len(batch) - found)
+            progress.add(2, len(read_ids) - found)
             progress.refresh()
         writer.finish()
     progress.finish("records")

@@ -162,29 +162,46 @@ def process_read_and_anno(
     return results
 
 
+class _PyWriter:
+    def __init__(self, path: str, use_gzip: bool):
+        try:
+            self._fh = (
+                gzip.open(path, "wb", compresslevel=6) if use_gzip else open(path, "wb")
+            )
+        except OSError as err:
+            raise _file_error(path, err)
+
+    def write_record(self, header: bytes, seq: bytes, qual: bytes) -> None:
+        self._fh.write(b"@" + header + b"\n" + seq + b"\n+\n" + qual + b"\n")
+
+    def close(self) -> None:
+        self._fh.close()
+
+
 class _WriterPool:
-    """Lazy per-label FASTQ writers, plain or gzip."""
+    """Lazy per-label FASTQ writers; native (C++/zlib) when available."""
 
     def __init__(self, output_folder: str, use_gzip: bool):
         self.output_folder = output_folder
         self.use_gzip = use_gzip
         self._writers: Dict[str, object] = {}
+        from ..utils import fastx_native
+
+        self._native = fastx_native.native_available()
+        self._native_cls = fastx_native.NativeFastqWriter if self._native else None
 
     def get(self, group: str):
         w = self._writers.get(group)
         if w is None:
-            if self.use_gzip:
-                path = os.path.join(self.output_folder, f"{group}.trimmed.fastq.gz")
+            suffix = ".trimmed.fastq.gz" if self.use_gzip else ".trimmed.fastq"
+            path = os.path.join(self.output_folder, f"{group}{suffix}")
+            if self._native:
                 try:
-                    w = gzip.open(path, "wb", compresslevel=6)
+                    w = self._native_cls(path, gzip_level=6 if self.use_gzip else 0)
                 except OSError as err:
                     raise _file_error(path, err)
             else:
-                path = os.path.join(self.output_folder, f"{group}.trimmed.fastq")
-                try:
-                    w = open(path, "wb")
-                except OSError as err:
-                    raise _file_error(path, err)
+                w = _PyWriter(path, self.use_gzip)
             self._writers[group] = w
         return w
 
@@ -253,11 +270,12 @@ def trim_matches(
                 for trimmed_seq, trimmed_qual, group, read_suffix in results:
                     w = writers.get(group)
                     if write_full_header and desc:
-                        head = f"@{read_id}{read_suffix} {desc}\n"
+                        header = f"{read_id}{read_suffix} {desc}"
                     else:
-                        head = f"@{read_id}{read_suffix}\n"
-                    w.write(head.encode("ascii"))
-                    w.write(trimmed_seq + b"\n+\n" + trimmed_qual + b"\n")
+                        header = f"{read_id}{read_suffix}"
+                    w.write_record(
+                        header.encode("ascii"), bytes(trimmed_seq), bytes(trimmed_qual)
+                    )
             progress.refresh()
     finally:
         writers.close_all()

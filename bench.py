@@ -70,19 +70,21 @@ def main():
     seqs = [r[1] for r in reads]
     truth = {r[0]: r[2] for r in reads}
 
+    from barbell_tpu.models.pipeline import engine_map_batches
+
     # Warm-up / compile on the first batch.
     engine.demux_batch(ids[:BATCH], seqs[:BATCH])
+
+    def batches():
+        for i in range(0, len(reads), BATCH):
+            if i + BATCH <= len(reads):
+                yield ids[i : i + BATCH], seqs[i : i + BATCH]
 
     t0 = time.perf_counter()
     n_done = 0
     correct = 0
     assigned = 0
-    for i in range(0, len(reads), BATCH):
-        bids = ids[i : i + BATCH]
-        bseqs = seqs[i : i + BATCH]
-        if len(bids) < BATCH:
-            break
-        out = engine.demux_batch(bids, bseqs)
+    for bids, _bseqs, out in engine_map_batches(engine, batches()):
         n_done += len(bids)
         for rid, rows in zip(bids, out):
             tags = [m for m in rows if m.match_type == BarcodeType.Ftag]
