@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from .oracle import COST_SCALE
 
 UNIT = COST_SCALE
-BIG = jnp.int32(2**30)
+# Plain int so importing this module never initializes a jax backend.
+BIG = 2**30
 
 LAM = 0.5  # Lodhi decay
 A_DIAG = LAM * LAM  # width-2 column factor
@@ -143,7 +144,7 @@ def find_hits(ends, lo, hi, k_scaled, K: int) -> Hits:
 
 class WindowDP(NamedTuple):
     ends: jnp.ndarray  # [H, P, W+1] int32
-    moves: jnp.ndarray  # [H, P, m, W+1] uint8 (bits 0-1 move, bit 2 eq)
+    moves: jnp.ndarray  # [m, H, P, W+1] uint8 (bits 0-1 move, bit 2 eq)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -199,8 +200,7 @@ def window_dp(patterns, windows, left_edge, right_pos, alpha_scaled) -> WindowDP
         return C, moves_row
 
     ends, moves = jax.lax.scan(row_step, C0, rows)
-    moves = jnp.transpose(moves, (1, 2, 0, 3))  # [H, P, m, W+1]
-    return WindowDP(ends=ends, moves=moves)
+    return WindowDP(ends=ends, moves=moves)  # moves: [m, H, P, W+1]
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +224,7 @@ class TraceResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("m", "W"))
 def traceback_reduce(
-    moves,  # [H, P, m, W+1] uint8
+    moves,  # [m, H, P, W+1] uint8
     end_j,  # [H, P] int32
     valid,  # [H, P] bool
     region_a,  # int32 inclusive pattern-range start (mask region)
@@ -241,6 +241,7 @@ def traceback_reduce(
     handles the reversal explicitly (first/last column tracking).
     """
     H, P = end_j.shape
+    HP = H * P
     moves_flat = moves.reshape(-1)
     lane = (jnp.arange(H, dtype=jnp.int32)[:, None] * P) + jnp.arange(
         P, dtype=jnp.int32
@@ -267,9 +268,9 @@ def traceback_reduce(
     def step(state, _):
         i, j, done = state["i"], state["j"], state["done"]
         active = ~done
-        # move for cell (i, j) lives at moves[h, p, i-1, j]
+        # move for cell (i, j) lives at moves[i-1, h, p, j]
         safe_i = jnp.maximum(i, 1)
-        idx = (lane * m + (safe_i - 1)) * (W + 1) + j
+        idx = ((safe_i - 1) * HP + lane) * (W + 1) + j
         mv = jnp.take(moves_flat, idx.reshape(-1)).reshape(H, P).astype(jnp.int32)
         move = mv & 3
         eqb = (mv >> 2) & 1
@@ -333,7 +334,7 @@ def traceback_reduce(
             None,
         )
 
-    state, _ = jax.lax.scan(step, init, None, length=m + W)
+    state, _ = jax.lax.scan(step, init, None, length=m + W, unroll=8)
     return TraceResult(
         text_start=state["text_start"],
         region_lo=state["region_lo"],

@@ -1,0 +1,198 @@
+"""End-to-end coverage beyond the kit preset: custom dual-end queries,
+extended templates, gzip output, CLI surface."""
+
+import gzip
+import os
+import random
+
+import pytest
+
+from barbell_tpu import cli
+from barbell_tpu.kits import database as db
+from barbell_tpu.models.records import BarcodeType, read_annotations
+from barbell_tpu.stages.annotate import AnnotateConfig, annotate_with_files
+from barbell_tpu.stages.filter import filter_from_pattern_str
+from barbell_tpu.stages.trim import LabelConfig, trim_matches
+from barbell_tpu.utils import dna
+
+
+def _rand(rng, n):
+    return bytes(rng.choice(b"ACGT") for _ in range(n))
+
+
+LEFT_FLANK_PRE = b"CCGTGAC"
+LEFT_FLANK_SUF = b"AGAGTTTGATCATGGCTCAG"
+RIGHT_FLANK_PRE = b"CCGTGAC"
+RIGHT_FLANK_SUF = b"CGGTTACCTTGTTACGACTT"
+
+
+def _write_queries(tmp_path, rng, n=4):
+    """Two query FASTAs: left (Ftag) and right (Rtag) constructs."""
+    bars = [_rand(rng, 24) for _ in range(n)]
+    left = tmp_path / "left.fasta"
+    right = tmp_path / "right.fasta"
+    with open(left, "w") as fh:
+        for i, b in enumerate(bars):
+            fh.write(f">L{i+1:02d}\n{(LEFT_FLANK_PRE + b + LEFT_FLANK_SUF).decode()}\n")
+    with open(right, "w") as fh:
+        for i, b in enumerate(bars):
+            fh.write(
+                f">R{i+1:02d}\n{(RIGHT_FLANK_PRE + b + RIGHT_FLANK_SUF).decode()}\n"
+            )
+    return left, right, bars
+
+
+def test_custom_dual_end_annotate_filter_trim(tmp_path):
+    rng = random.Random(0)
+    left, right, bars = _write_queries(tmp_path, rng)
+
+    # reads: left construct + insert + rc(right construct)
+    fastq = tmp_path / "reads.fastq"
+    with open(fastq, "w") as fh:
+        for i in range(6):
+            b = i % len(bars)
+            lcon = LEFT_FLANK_PRE + bars[b] + LEFT_FLANK_SUF
+            rcon = RIGHT_FLANK_PRE + bars[b] + RIGHT_FLANK_SUF
+            seq = lcon + _rand(rng, 300) + dna.reverse_complement_bytes(rcon)
+            fh.write(f"@dual_{i}\n{seq.decode()}\n+\n{'I' * len(seq)}\n")
+
+    ann = tmp_path / "ann.tsv"
+    annotate_with_files(
+        [str(fastq)],
+        [str(left), str(right)],
+        [BarcodeType.Ftag, BarcodeType.Rtag],
+        str(ann),
+        AnnotateConfig(backend="oracle", batch_size=8),
+    )
+    rows = list(read_annotations(str(ann)))
+    by_read = {}
+    for r in rows:
+        by_read.setdefault(r.read_id, []).append(r)
+    assert len(by_read) == 6
+    for rid, rr in by_read.items():
+        types = {r.match_type for r in rr}
+        assert BarcodeType.Ftag in types, rid
+        assert BarcodeType.Rtag in types, rid
+
+    filtered = tmp_path / "filtered.tsv"
+    filter_from_pattern_str(
+        str(ann),
+        "Ftag[fw, *, @left(0..250), >>]__Rtag[<<, rc, *, @right(0..250)]",
+        str(filtered),
+    )
+    kept = {r.read_id for r in read_annotations(str(filtered))}
+    assert len(kept) == 6
+
+    out_dir = tmp_path / "trimmed"
+    trim_matches(
+        str(filtered),
+        [str(fastq)],
+        str(out_dir),
+        label_config=LabelConfig(True, False, False, False, "left"),
+    )
+    outs = sorted(os.listdir(out_dir))
+    assert outs and all(o.endswith(".trimmed.fastq") for o in outs)
+    # trimmed inserts should be the 300bp middles
+    for o in outs:
+        with open(out_dir / o) as fh:
+            lines = fh.read().splitlines()
+        for i in range(0, len(lines), 4):
+            assert len(lines[i + 1]) == 300
+
+
+def test_use_extended_adds_fusion_group(tmp_path):
+    rng = random.Random(1)
+    # fusion construct: FRONT_FUSION + bar + REAR (extended template)
+    bar = db.BC_SEQS[0]
+    fusion = (db.RBK4_FRONT_FUSION + bar + db.RBK4_REAR).encode()
+    fastq = tmp_path / "fusion.fastq"
+    with open(fastq, "w") as fh:
+        seq = _rand(rng, 200) + fusion + _rand(rng, 200)
+        fh.write(f"@fus_0\n{seq.decode()}\n+\n{'I' * len(seq)}\n")
+
+    from barbell_tpu.stages.annotate import annotate_with_kit
+
+    ann_plain = tmp_path / "plain.tsv"
+    annotate_with_kit(
+        [str(fastq)], str(ann_plain), "SQK-RBK114-96",
+        AnnotateConfig(backend="oracle", batch_size=4),
+    )
+    ann_ext = tmp_path / "ext.tsv"
+    annotate_with_kit(
+        [str(fastq)], str(ann_ext), "SQK-RBK114-96",
+        AnnotateConfig(backend="oracle", batch_size=4, use_extended=True),
+    )
+    plain_tags = [
+        r for r in read_annotations(str(ann_plain)) if r.match_type == BarcodeType.Ftag
+    ]
+    ext_tags = [
+        r for r in read_annotations(str(ann_ext)) if r.match_type == BarcodeType.Ftag
+    ]
+    # the fusion construct is only confidently assigned with --use-extended
+    assert any(r.label == "BC01" for r in ext_tags)
+    assert len(ext_tags) >= len(plain_tags)
+
+
+def test_trim_gzip_roundtrip(tmp_path):
+    rng = random.Random(2)
+    from barbell_tpu.stages.kit import KitRunConfig, demux_using_kit
+    from barbell_tpu.sim.simulate import create_testdata, default_barcodes
+
+    create_testdata(
+        4, str(tmp_path / "sim"), barcodes=default_barcodes(4), rc_frac=0.0,
+        seed=5, groups=("GroupII",),
+    )
+    out = tmp_path / "out"
+    demux_using_kit(
+        [str(tmp_path / "sim" / "GroupII.fastq")],
+        KitRunConfig(
+            kit_name="SQK-RBK110-96",
+            output_folder=str(out),
+            backend="oracle",
+            gzip=True,
+        ),
+    )
+    gz = [f for f in os.listdir(out) if f.endswith(".trimmed.fastq.gz")]
+    assert gz
+    with gzip.open(out / gz[0], "rt") as fh:
+        lines = fh.read().splitlines()
+    assert lines[0].startswith("@")
+    assert set(lines[1]) <= set("ACGT")
+
+
+def test_cli_filter_trim_inspect(tmp_path, capsys):
+    rng = random.Random(3)
+    from barbell_tpu.sim.simulate import create_testdata, default_barcodes
+
+    create_testdata(
+        4, str(tmp_path / "sim"), barcodes=default_barcodes(4), rc_frac=0.0,
+        seed=7, groups=("GroupII",),
+    )
+    fastq = str(tmp_path / "sim" / "GroupII.fastq")
+    ann = str(tmp_path / "ann.tsv")
+    assert cli.main(
+        ["annotate", "-i", fastq, "-o", ann, "--kit", "SQK-RBK110-96",
+         "--backend", "oracle", "--batch-size", "4"]
+    ) == 0
+
+    pat_file = tmp_path / "patterns.txt"
+    pat_file.write_text("Ftag[fw, *, @left(0..250), >>]\n")
+    filt = str(tmp_path / "filtered.tsv")
+    assert cli.main(["filter", "-i", ann, "-o", filt, "-f", str(pat_file)]) == 0
+
+    assert cli.main(["inspect", "-i", ann, "-n", "5"]) == 0
+
+    outdir = str(tmp_path / "trim_out")
+    assert cli.main(
+        ["trim", "-i", filt, "-r", fastq, "-o", outdir, "--only-side", "left",
+         "--no-orientation", "--no-flanks"]
+    ) == 0
+    assert any(f.endswith(".trimmed.fastq") for f in os.listdir(outdir))
+
+
+def test_cli_kits_listing_available():
+    from barbell_tpu.kits.database import supported_kits
+
+    kits = supported_kits()
+    assert "SQK-RBK114-96" in kits
+    assert len(kits) >= 37
