@@ -78,6 +78,19 @@ def _pow2_at_least(x: int, lo: int = 8) -> int:
     return n
 
 
+def _ladder_pad(x: int, base: int) -> int:
+    """Pad x to a sparse ladder anchored off pow2 boundaries.
+
+    Hit counts hover right at 1/2 and 1x of the batch size, so pow2
+    padding flip-flops between sizes batch-to-batch and every flip is a
+    fresh XLA compilation (expensive under remote compile).  The ladder
+    {5*base/8 * 2^k} sits away from those attractors."""
+    n = max((5 * base) // 8, 8)
+    while n < x:
+        n *= 2
+    return n
+
+
 @dataclass
 class _Row:
     strand: Strand
@@ -191,6 +204,7 @@ class JaxDemuxEngine:
     ) -> List[List[BarbellMatch]]:
         jnp = self._jnp
         B = len(seqs)
+        self._pad_base = max(B, 8)
         fwd = [dna.encode(s) for s in seqs]
         lens = np.array([len(f) for f in fwd], dtype=np.int64)
         if B == 0 or lens.max(initial=0) == 0:
@@ -408,7 +422,7 @@ class JaxDemuxEngine:
         jnp = self._jnp
         L = int(rows_dev.shape[1])
         H = len(hits)
-        H_pad = _pow2_at_least(H, lo=8)
+        H_pad = _ladder_pad(H, 2 * self._pad_base)
         Wf = gplan.span
 
         # ---- Stage 2: flank traceback (both strands, one call) --------
@@ -482,7 +496,7 @@ class JaxDemuxEngine:
             entries = sub[strand]
             if not entries:
                 continue
-            H2_pad = _pow2_at_least(len(entries), lo=8)
+            H2_pad = _ladder_pad(len(entries), self._pad_base)
             Wb = gplan.barcode_window
             b_row = np.zeros(H2_pad, dtype=np.int32)
             b_start = np.zeros(H2_pad, dtype=np.int32)
