@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-score-diff", type=float, default=0.1)
     p.add_argument("--use-extended", action="store_true")
     p.add_argument("--alpha", type=float, default=0.4)
+    p.add_argument("--shard-rank", type=int, default=None,
+                   help="Multi-host: this host's rank (with --shard-world)")
+    p.add_argument("--shard-world", type=int, default=None,
+                   help="Multi-host: total number of hosts")
     _add_backend_args(p)
 
     # --------------------------------------------------------------- filter
@@ -117,6 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gzip", action="store_true")
     _add_backend_args(p)
 
+    # ----------------------------------------------------------------- kits
+    p = sub.add_parser("kits", help="List supported kit names")
+
     # ------------------------------------------------------------------ sim
     p = sub.add_parser("sim", help="Generate simulated reads with ground truth")
     p.add_argument("-n", "--num-reads", type=int, default=1000)
@@ -144,6 +151,19 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     print(BANNER)
     args = build_parser().parse_args(argv)
+    try:
+        return _dispatch(args)
+    except (KeyError, ValueError, OSError) as exc:
+        import os
+
+        if os.environ.get("BARBELL_DEBUG"):
+            raise
+        msg = exc.args[0] if exc.args else exc
+        print(f"Error: {msg}")
+        return 1
+
+
+def _dispatch(args) -> int:
 
     if args.command == "annotate":
         print("Starting annotation...")
@@ -158,8 +178,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             backend=args.backend,
             batch_size=args.batch_size,
         )
+        inputs = args.input
+        output = args.output
+        if args.shard_world is not None:
+            rank = args.shard_rank or 0
+            from .parallel.distributed import shard_output_path
+
+            config.shard = (rank, args.shard_world)
+            output = shard_output_path(args.output, rank, args.shard_world)
         if args.kit:
-            annotate_with_kit(args.input, args.output, args.kit, config)
+            annotate_with_kit(inputs, output, args.kit, config)
         else:
             if not args.queries:
                 print("Error: --queries is required unless --kit is provided")
@@ -169,7 +197,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             except ValueError as e:
                 print(f"Error during processing: {e}; use one of: Ftag, Rtag")
                 return 1
-            annotate_with_files(args.input, args.queries, types, args.output, config)
+            annotate_with_files(inputs, args.queries, types, output, config)
         print("Annotation complete!")
 
     elif args.command == "filter":
@@ -225,6 +253,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             batch_size=args.batch_size,
         )
         demux_using_kit(args.input, config)
+
+    elif args.command == "kits":
+        from .kits.database import get_kit_info, supported_kits
+
+        for alias in supported_kits():
+            print(f"{alias}\t{get_kit_info(alias).name}")
 
     elif args.command == "sim":
         from .sim.simulate import GROUPS, create_testdata, default_barcodes

@@ -33,6 +33,9 @@ class AnnotateConfig:
     use_extended: bool = False
     backend: str = "auto"  # 'auto' | 'jax' | 'oracle'
     batch_size: int = 512
+    # Multi-host record striping: (rank, world) — this process handles
+    # records with stream_index %% world == rank.
+    shard: Optional[tuple] = None
 
 
 def _apply_flank_threshold(groups: Sequence[BarcodeGroup], config: AnnotateConfig):
@@ -113,10 +116,29 @@ def annotate(
         log_dir=log_dir if config.verbose else None,
     )
 
+    shard = config.shard
+
     def batches():
+        if shard is None:
+            for batch in iter_fastq_batches_auto(read_files, config.batch_size):
+                read_ids = [split_fastq_header(h)[0] for h, _s, _q in batch]
+                seqs = [s for _h, s, _q in batch]
+                yield read_ids, seqs
+            return
+        rank, world = shard
+        idx = 0
+        read_ids: list = []
+        seqs: list = []
         for batch in iter_fastq_batches_auto(read_files, config.batch_size):
-            read_ids = [split_fastq_header(h)[0] for h, _s, _q in batch]
-            seqs = [s for _h, s, _q in batch]
+            for h, s, _q in batch:
+                if idx % world == rank:
+                    read_ids.append(split_fastq_header(h)[0])
+                    seqs.append(s)
+                    if len(read_ids) >= config.batch_size:
+                        yield read_ids, seqs
+                        read_ids, seqs = [], []
+                idx += 1
+        if read_ids:
             yield read_ids, seqs
 
     from ..models.pipeline import engine_map_batches

@@ -1,0 +1,88 @@
+"""Multi-host sharding: N shard runs merge to the single-host output."""
+
+import os
+
+from barbell_tpu import cli
+from barbell_tpu.parallel.distributed import (
+    has_completion_marker,
+    merge_annotation_shards,
+    shard_output_path,
+    shard_paths,
+    write_completion_marker,
+)
+from barbell_tpu.sim.simulate import create_testdata, default_barcodes
+from barbell_tpu.stages.annotate import AnnotateConfig, annotate_with_kit
+
+
+def test_shard_paths_round_robin():
+    paths = [f"f{i}.fastq" for i in range(5)]
+    assert shard_paths(paths, 0, 2) == ["f0.fastq", "f2.fastq", "f4.fastq"]
+    assert shard_paths(paths, 1, 2) == ["f1.fastq", "f3.fastq"]
+
+
+def test_record_striped_shards_merge_to_single_run(tmp_path):
+    create_testdata(
+        10, str(tmp_path / "sim"), barcodes=default_barcodes(4), rc_frac=0.0,
+        seed=11, groups=("GroupII",),
+    )
+    fastq = str(tmp_path / "sim" / "GroupII.fastq")
+
+    # single-host reference run
+    single = str(tmp_path / "single.tsv")
+    annotate_with_kit(
+        [fastq], single, "SQK-RBK110-96", AnnotateConfig(backend="oracle", batch_size=4)
+    )
+
+    # two record-striped shard runs + deterministic merge
+    base = str(tmp_path / "sharded.tsv")
+    world = 2
+    for rank in range(world):
+        annotate_with_kit(
+            [fastq],
+            shard_output_path(base, rank, world),
+            "SQK-RBK110-96",
+            AnnotateConfig(backend="oracle", batch_size=4, shard=(rank, world)),
+        )
+        write_completion_marker(str(tmp_path), "annotate", rank)
+
+    assert all(has_completion_marker(str(tmp_path), "annotate", r) for r in range(world))
+    merge_annotation_shards(base, world)
+
+    # merged shard output contains the same rows as the single run
+    # (record striping reorders reads deterministically: rank 0's reads
+    # then rank 1's; row content per read must be identical)
+    def rows_by_read(path):
+        out = {}
+        with open(path) as fh:
+            header = fh.readline()
+            for line in fh:
+                rid = line.split("\t", 1)[0]
+                out.setdefault(rid, []).append(line)
+        return header, out
+
+    h1, single_rows = rows_by_read(single)
+    h2, merged_rows = rows_by_read(base)
+    assert h1 == h2
+    assert single_rows == merged_rows
+    # shard files were cleaned up
+    assert not os.path.exists(shard_output_path(base, 0, world))
+
+
+def test_cli_shard_flags(tmp_path):
+    create_testdata(
+        6, str(tmp_path / "sim"), barcodes=default_barcodes(4), rc_frac=0.0,
+        seed=13, groups=("GroupII",),
+    )
+    fastq = str(tmp_path / "sim" / "GroupII.fastq")
+    out = str(tmp_path / "ann.tsv")
+    for rank in range(2):
+        assert cli.main(
+            ["annotate", "-i", fastq, "-o", out, "--kit", "SQK-RBK110-96",
+             "--backend", "oracle", "--batch-size", "4",
+             "--shard-rank", str(rank), "--shard-world", "2"]
+        ) == 0
+    merge_annotation_shards(out, 2)
+    with open(out) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    reads = {ln.split("\t", 1)[0] for ln in lines[1:]}
+    assert len(reads) == 6
