@@ -84,10 +84,14 @@ def _valley_keys(ends, lo, hi, k_scaled, L_key):
 
 
 def _window_cols(rows, starts, W):
-    L = rows.shape[1]
+    """Per-row fixed-width slices as ONE flat gather (never materialize
+    [R, L] intermediates — row-gather-then-slice is pathologically slow
+    on TPU)."""
+    R, L = rows.shape
     jpos = jnp.arange(W, dtype=jnp.int32)
     cols = jnp.clip(starts[:, None] + jpos[None, :], 0, L - 1)
-    return jnp.take_along_axis(rows, cols, axis=1)
+    rowbase = jnp.arange(R, dtype=jnp.int32)[:, None] * L
+    return jnp.take(rows.reshape(-1), rowbase + cols)
 
 
 @functools.partial(
@@ -208,12 +212,14 @@ def unpack_flank_scan(packed, K: int):
 def _gather_windows(rows, row_idx, starts, W: int):
     """windows[h] = rows[row_idx[h], starts[h] : starts[h]+W].
 
-    Column indices are clamped to the row; callers zero out anything
-    past their window length, so clamped duplicates are never read."""
+    One flat gather of [H, W] elements; column indices are clamped to
+    the row, and callers zero out anything past their window length,
+    so clamped duplicates are never read."""
     L = rows.shape[1]
     jpos = jnp.arange(W, dtype=jnp.int32)
     cols = jnp.minimum(starts[:, None] + jpos[None, :], L - 1)
-    return jnp.take_along_axis(rows[row_idx], cols, axis=1)
+    flat = row_idx.astype(jnp.int32)[:, None] * L + cols
+    return jnp.take(rows.reshape(-1), flat)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "W"))

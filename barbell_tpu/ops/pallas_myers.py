@@ -70,8 +70,11 @@ def _kernel(patw_ref, k_ref, m_ref, text_ref, lo_ref, hi_ref, out_ref,
     emit_lo = lo_ref[...]
     emit_hi = hi_ref[...]
     j0 = l_blk * CL
+    U = 4  # manual unroll (Mosaic fori_loop only supports full/no unroll)
 
-    def step(t, _):
+    def step(tu, _):
+      for du in range(U):
+        t = tu * U + du
         tvec = text_ref[t].astype(jnp.int32)  # (8, 128)
         ta = (tvec & 1) > 0
         tc = (tvec & 2) > 0
@@ -130,9 +133,9 @@ def _kernel(patw_ref, k_ref, m_ref, text_ref, lo_ref, hi_ref, out_ref,
 
         st_ref[1] = e_cur
         st_ref[0] = e_next
-        return 0
+      return 0
 
-    jax.lax.fori_loop(0, CL, step, 0)
+    jax.lax.fori_loop(0, CL // U, step, 0)
 
 
 @functools.partial(
