@@ -12,6 +12,7 @@ dense device-ready mask tensors up front (flank mask vector + a
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -126,7 +127,9 @@ class BarcodeGroup:
         groups = []
         for tmpl in spec.templates:
             if tmpl.extended and not use_extended:
-                print(f"Skipping extended template {kit}")
+                # Reference prints this notice (barcodes.rs:260); stderr
+                # here so stdout stays clean for bench/pipe consumers.
+                print(f"Skipping extended template {kit}", file=sys.stderr)
                 continue
             labels, seqs = expand_template(tmpl)
             seq_bytes = [s.encode("ascii") for s in seqs]

@@ -46,6 +46,40 @@ from .records import BarbellMatch, Strand, rel_dist_to_end
 MAX_ROW_LEN = 8192  # chunk width for long reads
 MAX_HITS_PER_ROW = 16  # K for valley compaction
 
+# Env-gated phase timing (BARBELL_TIMING=1): accumulates wall-clock per
+# pipeline phase into TIMINGS {name: [seconds, calls]}.  Device fetches
+# are synchronous at np.asarray, so phases bracketing a fetch include
+# device + transfer time.  See CLAUDE.md: profile with this, not with
+# repeated-input microbenchmarks.
+import contextlib
+import os as _os
+import time as _time
+
+TIMINGS: Dict[str, List[float]] = {}
+_TIMING = _os.environ.get("BARBELL_TIMING", "") not in ("", "0")
+
+
+@contextlib.contextmanager
+def _phase(name: str):
+    if not _TIMING:
+        yield
+        return
+    t0 = _time.perf_counter()
+    try:
+        yield
+    finally:
+        acc = TIMINGS.setdefault(name, [0.0, 0])
+        acc[0] += _time.perf_counter() - t0
+        acc[1] += 1
+
+
+def timing_report() -> str:
+    lines = [
+        f"  {name:24s} {acc[0]:8.3f}s  n={acc[1]}"
+        for name, acc in sorted(TIMINGS.items())
+    ]
+    return "\n".join(lines)
+
 
 def engine_map_batches(engine, batches, depth: int = 2):
     """Run ``engine.demux_batch`` over an iterator of (ids, seqs) batches
@@ -205,7 +239,8 @@ class JaxDemuxEngine:
         jnp = self._jnp
         B = len(seqs)
         self._pad_base = max(B, 8)
-        fwd = [dna.encode(s) for s in seqs]
+        with _phase("encode"):
+            fwd = [dna.encode(s) for s in seqs]
         lens = np.array([len(f) for f in fwd], dtype=np.int64)
         if B == 0 or lens.max(initial=0) == 0:
             return [[] for _ in seqs]
@@ -293,7 +328,8 @@ class JaxDemuxEngine:
             lo_arr[r] = rowm.lo
             hi_arr[r] = rowm.hi
 
-        host_packed_dev = jnp.asarray(comp.pack_rows_np(host_rows))
+        with _phase("pack_upload"):
+            host_packed_dev = jnp.asarray(comp.pack_rows_np(host_rows))
 
         results: List[List[BarbellMatch]] = [[] for _ in seqs]
         overflow_reads: set = set()
@@ -307,7 +343,8 @@ class JaxDemuxEngine:
                 emit_lo[r] = rowm.tsc + mk + 2 if rowm.true_start else rowm.lo
                 emit_hi[r] = min(rowm.hi, rowm.tec - 2) if rowm.true_end else rowm.hi
 
-            scan = comp.flank_scan(
+            with _phase("flank_scan.dispatch"):
+                scan = comp.flank_scan(
                 jnp.asarray(gplan.flank),
                 jnp.asarray(gplan.patw),
                 host_packed_dev,
@@ -328,11 +365,12 @@ class JaxDemuxEngine:
                 top_bit=gplan.top_bit,
             )
             rows_dev = scan.rows
-            col, cost, valid, count = comp.unpack_flank_scan(
-                np.asarray(scan.packed), self.K
-            )
+            with _phase("flank_scan.fetch"):
+                packed_np = np.asarray(scan.packed)
+            col, cost, valid, count = comp.unpack_flank_scan(packed_np, self.K)
 
             hits: Dict[Strand, List[_Hit]] = {Strand.Fwd: [], Strand.Rc: []}
+            _t_hits = _time.perf_counter() if _TIMING else 0.0
             for mi, rowm in enumerate(rows_meta):
                 r = row_of_meta[mi]
                 if count[r] > self.K:
@@ -358,6 +396,10 @@ class JaxDemuxEngine:
                         )
                     )
 
+            if _TIMING:
+                acc = TIMINGS.setdefault("hit_extract.host", [0.0, 0])
+                acc[0] += _time.perf_counter() - _t_hits
+                acc[1] += 1
             # Forward hits first, then rc — preserves the scalar engine's
             # per-read row order after assembly.
             live = [
@@ -442,8 +484,9 @@ class JaxDemuxEngine:
             right_pos[h] = w_len if (hit.true_end and hit.end_col == hit.tec) else -1
             hvalid[h] = True
 
-        tr = np.asarray(
-            comp.flank_trace(
+        with _phase("flank_trace"):
+            tr = np.asarray(
+                comp.flank_trace(
                 jnp.asarray(gplan.flank),
                 rows_dev,
                 jnp.asarray(row_idx),
@@ -507,7 +550,8 @@ class JaxDemuxEngine:
                 b_start[h] = bstart - foff  # fwd rows have tsc == 0
                 b_len[h] = bend - bstart
                 b_valid[h] = True
-            rank_dev = comp.barcode_rank(
+            with _phase("barcode_rank.dispatch"):
+                rank_dev = comp.barcode_rank(
                 jnp.asarray(gplan.patterns[strand]),
                 rows_dev,
                 jnp.asarray(b_row),
@@ -522,6 +566,8 @@ class JaxDemuxEngine:
                 jnp.float32(self.min_score_diff),
                 m=gplan.plen,
                 W=Wb,
+                use_pallas=self.use_pallas,
+                interpret=self._on_cpu,
             )
             pending.append((strand, entries, rank_dev))
 
@@ -530,7 +576,8 @@ class JaxDemuxEngine:
         # order per read, which `pending` iteration provides.
         group = gplan.group
         for _strand, entries, rank_dev in pending:
-            rank = np.asarray(rank_dev)
+            with _phase("barcode_rank.fetch"):
+                rank = np.asarray(rank_dev)
             for h, (hit, flank_start_text, bstart, _bend, _frow, _foff) in enumerate(
                 entries
             ):

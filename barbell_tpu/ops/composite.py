@@ -42,8 +42,10 @@ from .device import (
     flank_ends,
     traceback_reduce,
     window_dp,
+    window_dp_summary,
 )
 from .pallas_myers import myers_valleys_from_words, pattern_words
+from .pallas_rank import rank_pass1
 
 
 def _complement_masks(m):
@@ -239,7 +241,58 @@ def flank_trace(
     W: int,
 ):
     """Packed [H, 4] int32: text_start, region_lo, region_hi, has_region
-    (all window-relative)."""
+    (all window-relative).  Fused forward-summary DP — no move tables,
+    no traceback scan (see :func:`device.window_dp_summary`)."""
+    windows = _gather_windows(rows, row_idx, win_start, W)
+    jpos = jnp.arange(W, dtype=jnp.int32)
+    windows = jnp.where(jpos[None, :] < end_j[:, None], windows, 0)
+    summ = window_dp_summary(
+        pattern[None, None, :],
+        windows,
+        left_edge,
+        right_pos,
+        alpha_scaled,
+        region_a,
+        region_b,
+        jnp.int32(0),
+        jnp.int32(0),
+        with_region=True,
+        with_start=True,
+    )
+
+    def at_end(arr):  # [H, 1, W+1] -> value at end_j
+        return jnp.take_along_axis(arr[:, 0, :], end_j[:, None], axis=1)[:, 0]
+
+    region_hi = at_end(summ.region_hi)
+    return jnp.stack(
+        [
+            at_end(summ.text_start),
+            at_end(summ.region_lo),
+            region_hi,
+            (region_hi >= 0).astype(jnp.int32),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "W"))
+def flank_trace_reference(
+    pattern,
+    rows,
+    row_idx,
+    win_start,
+    left_edge,
+    right_pos,
+    end_j,
+    valid,
+    region_a,
+    region_b,
+    alpha_scaled,
+    m: int,
+    W: int,
+):
+    """Original window_dp + traceback_reduce implementation; kept as the
+    conformance anchor for :func:`flank_trace` (tests only)."""
     windows = _gather_windows(rows, row_idx, win_start, W)
     jpos = jnp.arange(W, dtype=jnp.int32)
     windows = jnp.where(jpos[None, :] < end_j[:, None], windows, 0)
@@ -266,7 +319,9 @@ def flank_trace(
     ).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "W"))
+@functools.partial(
+    jax.jit, static_argnames=("m", "W", "use_pallas", "interpret")
+)
 def barcode_rank(
     patterns,  # [P, m] one strand's pattern stack
     rows,  # [R_total, L]
@@ -282,9 +337,123 @@ def barcode_rank(
     min_score_diff,
     m: int,
     W: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Packed [H, 8] int32: top_idx, accepted, read_bar_start,
-    read_bar_end, bar_start, bar_end, bar_cost, has_interval."""
+    read_bar_end, bar_start, bar_end, bar_cost, has_interval.
+
+    Two fused passes, no move tables: (1) a forward-summary DP carries
+    the Lodhi state for ALL patterns (selection needs every candidate's
+    score — on real windows ~90 of 96 barcodes pass the k1 filter, so
+    candidate compaction can't help); (2) the interval mapping runs the
+    same summary DP for just the winning pattern per window."""
+    P = patterns.shape[0]
+    windows = _gather_windows(rows, row_idx, win_start, W)
+    jpos = jnp.arange(W, dtype=jnp.int32)
+    windows = jnp.where(jpos[None, :] < w_len[:, None], windows, 0)
+
+    H = windows.shape[0]
+    no_edge = jnp.zeros(H, dtype=bool)
+    no_right = jnp.full(H, -1, dtype=jnp.int32)
+    if use_pallas and W <= 255:
+        key, lodhi_best = rank_pass1(
+            patterns, windows, w_len, interpret=interpret
+        )
+        best_cost = key // 256
+        best_pos = key % 256
+    else:
+        summ = window_dp_summary(
+            patterns[None, :, :],
+            windows,
+            no_edge,
+            no_right,
+            jnp.int32(UNIT),
+            jnp.int32(0),
+            jnp.int32(-1),
+            iv_a,
+            iv_b,
+            with_lodhi=True,
+        )
+        best = best_valley_per_pattern(summ.ends, w_len)
+        best_cost, best_pos = best.cost, best.pos
+        lodhi_best = jnp.take_along_axis(
+            summ.lodhi, best_pos[:, :, None], axis=2
+        )[:, :, 0]
+
+    in_k1 = best_cost <= k1_scaled
+    matched = in_k1.sum(axis=1)
+    use_all = matched <= 1
+    cand = (use_all[:, None] | in_k1) & hvalid[:, None]
+
+    scores = jnp.where(cand, lodhi_best / perfect, -jnp.inf)
+    top = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    top_norm = jnp.take_along_axis(scores, top[:, None], axis=1)[:, 0]
+    rest = jnp.where(jnp.arange(P)[None, :] == top[:, None], -jnp.inf, scores)
+    second_norm = jnp.max(rest, axis=1)
+    n_cand = cand.sum(axis=1)
+
+    accepted = (top_norm >= min_score) & (
+        (n_cand <= 1) | ((top_norm - second_norm) >= min_score_diff)
+    )
+    accepted = accepted & hvalid & (n_cand > 0)
+
+    # Pass 2: interval mapping for the winning pattern only ([H, 1]).
+    pat_top = jnp.take(patterns, top, axis=0)  # [H, m]
+    summ2 = window_dp_summary(
+        pat_top[:, None, :],
+        windows,
+        no_edge,
+        no_right,
+        jnp.int32(UNIT),
+        jnp.int32(0),
+        jnp.int32(-1),
+        iv_a,
+        iv_b,
+        with_interval=True,
+    )
+    end_top = jnp.take_along_axis(best_pos, top[:, None], axis=1)  # [H, 1]
+
+    def pick(arr):  # [H, 1, W+1] -> value at the top pattern's end pos
+        return jnp.take_along_axis(arr[:, 0, :], end_top, axis=1)[:, 0]
+
+    return jnp.stack(
+        [
+            top,
+            accepted.astype(jnp.int32),
+            pick(summ2.iv_pj),
+            pick(summ2.iv_ej) + 1,
+            pick(summ2.iv_pi),
+            pick(summ2.iv_ei) + 1,
+            pick(summ2.iv_cost),
+            pick(summ2.has_interval.astype(jnp.int32)),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "W"))
+def barcode_rank_reference(
+    patterns,
+    rows,
+    row_idx,
+    win_start,
+    w_len,
+    hvalid,
+    k1_scaled,
+    iv_a,
+    iv_b,
+    perfect,
+    min_score,
+    min_score_diff,
+    m: int,
+    W: int,
+):
+    """Original all-lanes window_dp + traceback_reduce implementation;
+    kept as the conformance anchor for :func:`barcode_rank` (tests
+    only).  For lanes outside ``cand`` the traceback is masked, so
+    interval fields there hold init values — compare only rows/lanes
+    where ``hvalid`` (and interval fields only where accepted)."""
     P = patterns.shape[0]
     windows = _gather_windows(rows, row_idx, win_start, W)
     jpos = jnp.arange(W, dtype=jnp.int32)

@@ -351,6 +351,228 @@ def traceback_reduce(
 
 
 # ---------------------------------------------------------------------------
+# Stage 3/4 fused: forward path-summary DP (no moves table, no traceback)
+# ---------------------------------------------------------------------------
+
+
+class SummaryDP(NamedTuple):
+    """Per-cell path summaries at the final pattern row.
+
+    Every field is [H, P, W+1]: the value for the optimal alignment path
+    ENDING at text position j (semantics identical to running
+    :func:`traceback_reduce` from (m, j) over :func:`window_dp` moves —
+    enforced by tests).  Fields not requested are None.
+    """
+
+    ends: jnp.ndarray  # int32 end costs (== window_dp().ends)
+    lodhi: jnp.ndarray  # float32 gap-weighted score
+    text_start: jnp.ndarray  # int32 window col where the path starts
+    region_lo: jnp.ndarray  # int32 min text col over region pattern rows
+    region_hi: jnp.ndarray  # int32 max text col (has_region = hi >= 0)
+    iv_pi: jnp.ndarray  # int32 first in-interval pattern pos
+    iv_pj: jnp.ndarray  # int32 first in-interval text pos
+    iv_ei: jnp.ndarray  # int32 last in-interval pattern pos
+    iv_ej: jnp.ndarray  # int32 last in-interval text pos
+    iv_cost: jnp.ndarray  # int32 non-match steps inside the interval
+    has_interval: jnp.ndarray  # bool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("with_lodhi", "with_region", "with_interval", "with_start"),
+)
+def window_dp_summary(
+    patterns_hp,  # [Hp, P, m] uint8, Hp in {1, H} (per-window when Hp == H)
+    windows,  # [H, W] uint8
+    left_edge,  # [H] bool — col 0 is the read's true start (alpha boundary)
+    right_pos,  # [H] int32 — col of the read's true end, or -1
+    alpha_scaled,
+    region_a,  # int32 inclusive pattern-row range for region tracking
+    region_b,
+    iv_a,  # int32 pattern interval start (inclusive)
+    iv_b,  # int32 pattern interval end (EXCLUSIVE)
+    with_lodhi: bool = False,
+    with_region: bool = False,
+    with_interval: bool = False,
+    with_start: bool = False,
+) -> SummaryDP:
+    """Forward DP carrying path summaries per cell.
+
+    Replaces window_dp + traceback_reduce on the hot path: the move
+    tables ([m, H, P, W+1] in HBM) and the m+W-step gather scan vanish;
+    instead each summary is propagated cell-to-cell during the row scan.
+    Move tie-breaking (diag > up > left) and all update formulas mirror
+    traceback_reduce exactly; a horizontal (left-move) run only scales
+    the Lodhi state by lambda^d and extends min/max trackers, so runs
+    collapse into a cummax scan + one gather per carried array.
+    """
+    assert LAM == 0.5, "left-run collapse uses exact powers of two"
+    Hp, P, m = patterns_hp.shape
+    H, W = windows.shape
+    jpos = jnp.arange(W + 1, dtype=jnp.int32)
+    unit_j = UNIT * jpos
+    vert = jnp.where(jpos[None, :] == right_pos[:, None], alpha_scaled, UNIT)
+    win = windows.astype(jnp.int32)
+
+    f32 = jnp.float32
+    carry = dict(C=jnp.zeros((H, P, W + 1), dtype=jnp.int32))
+    if with_lodhi:
+        for name in ("T1", "T2", "S"):
+            carry[name] = jnp.zeros((H, P, W + 1), dtype=f32)
+    if with_region:
+        carry["region_lo"] = jnp.full((H, P, W + 1), BIG, dtype=jnp.int32)
+        carry["region_hi"] = jnp.full((H, P, W + 1), -1, dtype=jnp.int32)
+    if with_interval:
+        carry["iv_pi"] = jnp.zeros((H, P, W + 1), dtype=jnp.int32)
+        carry["iv_pj"] = jnp.zeros((H, P, W + 1), dtype=jnp.int32)
+        carry["iv_ei"] = jnp.full((H, P, W + 1), -1, dtype=jnp.int32)
+        carry["iv_ej"] = jnp.full((H, P, W + 1), -1, dtype=jnp.int32)
+        carry["iv_cost"] = jnp.zeros((H, P, W + 1), dtype=jnp.int32)
+        carry["has_iv"] = jnp.zeros((H, P, W + 1), dtype=bool)
+    if with_start:
+        carry["ts"] = jnp.zeros((H, P, W + 1), dtype=jnp.int32)
+
+    pat_cols = jnp.transpose(patterns_hp, (2, 0, 1)).astype(jnp.int32)  # [m, Hp, P]
+    rows = (pat_cols, jnp.arange(1, m + 1, dtype=jnp.int32))
+
+    def shift_right(a, fill):
+        return jnp.concatenate(
+            [jnp.full((H, P, 1), fill, dtype=a.dtype), a[:, :, :-1]], axis=2
+        )
+
+    def row_step(st, xs):
+        pat_i, i = xs  # pat_i [Hp, P]; row index i (1-based)
+        C_prev = st["C"]
+        eq = (win[:, None, :] & pat_i[:, :, None]) != 0  # [H, P, W]
+        sub = jnp.where(eq, 0, UNIT)
+        diag_val = C_prev[:, :, :-1] + sub  # cost via diag into j=1..W
+        up_val = C_prev[:, :, 1:] + vert[:, None, 1:]
+        v = jnp.minimum(diag_val, up_val)
+        boundary = jnp.where(left_edge, alpha_scaled * i, UNIT * i)  # [H]
+        w = jnp.concatenate(
+            [jnp.broadcast_to(boundary[:, None, None], (H, P, 1)), v], axis=2
+        )
+        u = w - unit_j[None, None, :]
+        u = jax.lax.associative_scan(jnp.minimum, u, axis=2)
+        C = u + unit_j[None, None, :]
+
+        false_col = jnp.zeros((H, P, 1), dtype=bool)
+        diag_ok = jnp.concatenate([false_col, C[:, :, 1:] == diag_val], axis=2)
+        up_ok = C == C_prev + vert[:, None, :]
+        # col 0 is always an up move (window_dp forces move=1 there, and
+        # the alpha left-edge boundary can make the cost test fail)
+        up_ok = up_ok.at[:, :, 0].set(True)
+        isleft = ~diag_ok & ~up_ok
+
+        # Summaries of the edge INTO cell (i, j): diag consumes
+        # (pattern i, text j) with predecessor u=(i-1, j-1); up consumes
+        # pattern only, u=(i-1, j).  mf (Lodhi match flag) is diag & eq.
+        eq_full = jnp.concatenate([false_col, eq], axis=2)
+        mf = (diag_ok & eq_full).astype(f32)
+        u_i = jnp.where(diag_ok | up_ok, i - 1, i)  # predecessor pattern row
+        # predecessor text col: j-1 for diag, j for up (left handled below)
+        base = {}
+        for name, arr in st.items():
+            if name == "C":
+                continue
+            prev_d = shift_right(arr, 0 if arr.dtype != f32 else 0.0)
+            base[name] = jnp.where(diag_ok, prev_d, arr)  # up keeps col j
+        if with_lodhi:
+            a_c = jnp.where(diag_ok, f32(A_DIAG), f32(A_GAP))
+            T1p, T2p, Sp = base["T1"], base["T2"], base["S"]
+            base["S"] = Sp + mf * a_c * T2p
+            base["T2"] = a_c * (T2p + mf * T1p)
+            base["T1"] = a_c * (T1p + mf)
+        u_j = jnp.where(diag_ok, jpos[None, None, :] - 1, jpos[None, None, :])
+        if with_region:
+            in_r = (u_i >= region_a) & (u_i <= region_b)
+            base["region_lo"] = jnp.minimum(
+                base["region_lo"], jnp.where(in_r, u_j, BIG)
+            )
+            base["region_hi"] = jnp.maximum(
+                base["region_hi"], jnp.where(in_r, u_j, -1)
+            )
+        if with_interval:
+            in_iv = (u_i >= iv_a) & (u_i < iv_b)
+            first_iv = in_iv & ~base["has_iv"]
+            base["iv_pi"] = jnp.where(first_iv, u_i, base["iv_pi"])
+            base["iv_pj"] = jnp.where(first_iv, u_j, base["iv_pj"])
+            base["iv_ei"] = jnp.where(in_iv, u_i, base["iv_ei"])
+            base["iv_ej"] = jnp.where(in_iv, u_j, base["iv_ej"])
+            base["iv_cost"] = base["iv_cost"] + jnp.where(
+                in_iv & (mf == 0.0), 1, 0
+            )
+            base["has_iv"] = base["has_iv"] | in_iv
+        if with_start:
+            base["ts"] = jnp.where(u_i == 0, u_j, base["ts"])
+
+        # Collapse left runs: cell j's path enters the row at g(j) = the
+        # nearest non-left cell <= j, then takes d = j - g left edges,
+        # each with predecessor (i, j'), j' = g..j-1, a = lambda, mf = 0.
+        # The base state is forward-filled across runs with a segmented
+        # last-base associative scan — take_along_axis gathers along the
+        # minor axis are pathologically slow on TPU (~140ms per call).
+        fill = dict(base)
+        fill["_g"] = jnp.broadcast_to(
+            jpos[None, None, :], (H, P, W + 1)
+        ).astype(jnp.int32)
+        fill["_f"] = ~isleft  # base (non-left) cells
+
+        def last_base(a, b):
+            fb = b["_f"]
+            out = {k: jnp.where(fb, v, a[k]) for k, v in b.items() if k != "_f"}
+            out["_f"] = a["_f"] | fb
+            return out
+
+        new = jax.lax.associative_scan(last_base, fill, axis=2)
+        new.pop("_f")
+        g = new.pop("_g")
+        d = jpos[None, None, :] - g
+        chain = d > 0
+        if with_lodhi:
+            factor = jnp.exp2(-d.astype(f32))  # lambda**d, exact
+            new["T1"] = new["T1"] * factor
+            new["T2"] = new["T2"] * factor
+        if with_region:
+            in_r_row = (i >= region_a) & (i <= region_b)
+            ext = chain & in_r_row
+            new["region_lo"] = jnp.where(
+                ext, jnp.minimum(new["region_lo"], g), new["region_lo"]
+            )
+            new["region_hi"] = jnp.where(
+                ext, jnp.maximum(new["region_hi"], jpos[None, None, :] - 1),
+                new["region_hi"],
+            )
+        if with_interval:
+            in_iv_row = (i >= iv_a) & (i < iv_b)
+            ext = chain & in_iv_row
+            first_iv = ext & ~new["has_iv"]
+            new["iv_pi"] = jnp.where(first_iv, i, new["iv_pi"])
+            new["iv_pj"] = jnp.where(first_iv, g, new["iv_pj"])
+            new["iv_ei"] = jnp.where(ext, i, new["iv_ei"])
+            new["iv_ej"] = jnp.where(ext, jpos[None, None, :] - 1, new["iv_ej"])
+            new["iv_cost"] = new["iv_cost"] + jnp.where(ext, d, 0)
+            new["has_iv"] = new["has_iv"] | ext
+        new["C"] = C
+        return new, None
+
+    final, _ = jax.lax.scan(row_step, carry, rows)
+    return SummaryDP(
+        ends=final["C"],
+        lodhi=final.get("S"),
+        text_start=final.get("ts"),
+        region_lo=final.get("region_lo"),
+        region_hi=final.get("region_hi"),
+        iv_pi=final.get("iv_pi"),
+        iv_pj=final.get("iv_pj"),
+        iv_ei=final.get("iv_ei"),
+        iv_ej=final.get("iv_ej"),
+        iv_cost=final.get("iv_cost"),
+        has_interval=final.get("has_iv"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stage 3a helper: best valley per pattern
 # ---------------------------------------------------------------------------
 

@@ -387,3 +387,154 @@ def test_engine_pallas_path_matches_oracle():
     for rid, seq, rows in zip(ids, seqs, got):
         want = scalar.demux(rid, seq)
         assert rows == want, f"{rid}: {rows} != {want}"
+
+
+# ---------------------------------------------------------------------------
+# window_dp_summary vs window_dp + traceback_reduce
+# ---------------------------------------------------------------------------
+
+
+def test_window_dp_summary_matches_traceback():
+    """The fused forward-summary DP must reproduce traceback_reduce's
+    outputs at EVERY end position, for every summary kind, including
+    alpha boundaries (left edge / right pos)."""
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        H, P, m, W = 3, 4, 9, 22
+        left_edge = bool(trial % 2)
+        right = trial % 4 == 0
+        alpha = 0.4 if trial % 3 else 1.0
+        patterns = np.stack([rand_masks(rng, m) for _ in range(P)])
+        windows = np.zeros((H, W), dtype=np.uint8)
+        w_lens = rng.integers(m, W + 1, H).astype(np.int32)
+        for h in range(H):
+            content = rand_masks(rng, int(w_lens[h]))
+            p = patterns[rng.integers(0, P)]
+            pos = int(rng.integers(0, max(1, w_lens[h] - m)))
+            content[pos : pos + m] = p[: min(m, int(w_lens[h]) - pos)]
+            windows[h, : w_lens[h]] = content
+        ledge = np.full(H, left_edge)
+        rpos = np.where(np.full(H, right), w_lens, -1).astype(np.int32)
+        a = np.int32(oracle.scale_alpha(alpha))
+        region_a, region_b = np.int32(2), np.int32(m - 3)
+        iv_a, iv_b = np.int32(3), np.int32(m - 1)
+
+        wdp = dev.window_dp(
+            jnp.asarray(patterns), jnp.asarray(windows), jnp.asarray(ledge),
+            jnp.asarray(rpos), a,
+        )
+        summ = dev.window_dp_summary(
+            jnp.asarray(patterns[None]), jnp.asarray(windows),
+            jnp.asarray(ledge), jnp.asarray(rpos), a,
+            region_a, region_b, iv_a, iv_b,
+            with_lodhi=True, with_region=True, with_interval=True,
+            with_start=True,
+        )
+        assert np.array_equal(np.asarray(summ.ends), np.asarray(wdp.ends))
+
+        for j in (0, 1, m // 2, m, W // 2, W):
+            end_j = jnp.full((H, P), j, dtype=jnp.int32)
+            valid = jnp.ones((H, P), dtype=bool)
+            tr = dev.traceback_reduce(
+                wdp.moves, end_j, valid, region_a, region_b, iv_a, iv_b,
+                m=m, W=W,
+            )
+            sl = lambda arr: np.asarray(arr)[:, :, j]
+            assert np.array_equal(sl(summ.text_start), np.asarray(tr.text_start)), (trial, j)
+            assert np.array_equal(sl(summ.region_lo), np.asarray(tr.region_lo)), (trial, j)
+            assert np.array_equal(sl(summ.region_hi), np.asarray(tr.region_hi)), (trial, j)
+            assert np.array_equal(sl(summ.iv_pi), np.asarray(tr.iv_pi)), (trial, j)
+            assert np.array_equal(sl(summ.iv_pj), np.asarray(tr.iv_pj)), (trial, j)
+            assert np.array_equal(sl(summ.iv_ei), np.asarray(tr.iv_ei)), (trial, j)
+            assert np.array_equal(sl(summ.iv_ej), np.asarray(tr.iv_ej)), (trial, j)
+            assert np.array_equal(sl(summ.iv_cost), np.asarray(tr.iv_cost)), (trial, j)
+            assert np.array_equal(sl(summ.has_interval), np.asarray(tr.has_interval)), (trial, j)
+            np.testing.assert_allclose(
+                sl(summ.lodhi), np.asarray(tr.lodhi), rtol=1e-5, atol=1e-7,
+                err_msg=str((trial, j)),
+            )
+
+
+def test_composites_match_reference_impls():
+    """barcode_rank / flank_trace (fused summary DP) vs the kept
+    window_dp + traceback_reduce reference implementations, on windows
+    carrying noisy kit barcodes."""
+    from barbell_tpu.ops import composite as comp
+
+    rng = np.random.default_rng(12)
+    group = BarcodeGroup.from_kit("SQK-RBK114-96")[0]
+    patterns = np.asarray(group.patterns_fwd, dtype=np.uint8)[:16]
+    P, m = patterns.shape
+    W = m + 24
+    H, L = 12, 256
+
+    rows = np.zeros((H, L), dtype=np.uint8)
+    win_start = rng.integers(0, L - W, H).astype(np.int32)
+    w_len = rng.integers(m, W + 1, H).astype(np.int32)
+    for h in range(H):
+        content = rand_masks(rng, int(w_len[h]))
+        pat = patterns[rng.integers(0, P)]
+        pos = int(rng.integers(0, max(1, int(w_len[h]) - m)))
+        noisy = pat.copy()
+        for _ in range(rng.integers(0, 4)):
+            noisy[rng.integers(0, m)] = BASES[rng.integers(0, 4)]
+        content[pos : pos + m] = noisy[: min(m, int(w_len[h]) - pos)]
+        rows[h, win_start[h] : win_start[h] + w_len[h]] = content
+    hvalid = np.ones(H, dtype=bool)
+    hvalid[-1] = False
+
+    pad_start, _ = group.pad_region
+    iv_a = np.int32(group.bar_region[0] - pad_start)
+    iv_b = np.int32(group.bar_region[1] - pad_start)
+    from barbell_tpu.ops.lodhi import perfect_score
+
+    args = (
+        jnp.asarray(patterns),
+        jnp.asarray(rows),
+        jnp.arange(H, dtype=jnp.int32),
+        jnp.asarray(win_start),
+        jnp.asarray(w_len),
+        jnp.asarray(hvalid),
+        jnp.int32(oracle.scale_k(int(m * 0.4))),
+        iv_a,
+        iv_b,
+        jnp.float32(perfect_score(group.pad_region[1] - group.pad_region[0])),
+        jnp.float32(0.2),
+        jnp.float32(0.1),
+    )
+    got = np.asarray(comp.barcode_rank(*args, m=m, W=W))
+    want = np.asarray(comp.barcode_rank_reference(*args, m=m, W=W))
+    # Compare semantically meaningful lanes: all columns where hvalid;
+    # reference holds masked-traceback init values elsewhere.
+    assert np.array_equal(got[hvalid], want[hvalid])
+
+    # flank_trace vs reference on the group flank
+    flank = np.asarray(group.flank_masks, dtype=np.uint8)
+    fm = len(flank)
+    Wf = fm + 30
+    frows = np.zeros((H, 512), dtype=np.uint8)
+    fstart = rng.integers(0, 512 - Wf, H).astype(np.int32)
+    fend = rng.integers(fm - 4, Wf + 1, H).astype(np.int32)
+    for h in range(H):
+        content = rand_masks(rng, int(fend[h]))
+        pos = int(rng.integers(0, max(1, int(fend[h]) - fm)))
+        content[pos : pos + fm] = flank[: min(fm, int(fend[h]) - pos)]
+        frows[h, fstart[h] : fstart[h] + fend[h]] = content
+    ledge = rng.integers(0, 2, H).astype(bool)
+    rpos = np.where(rng.integers(0, 2, H).astype(bool), fend, -1).astype(np.int32)
+    fargs = (
+        jnp.asarray(flank),
+        jnp.asarray(frows),
+        jnp.arange(H, dtype=jnp.int32),
+        jnp.asarray(fstart),
+        jnp.asarray(ledge),
+        jnp.asarray(rpos),
+        jnp.asarray(fend),
+        jnp.asarray(hvalid),
+        jnp.int32(group.bar_region[0]),
+        jnp.int32(group.bar_region[1]),
+        jnp.int32(oracle.scale_alpha(0.4)),
+    )
+    gt = np.asarray(comp.flank_trace(*fargs, m=fm, W=Wf))
+    wt = np.asarray(comp.flank_trace_reference(*fargs, m=fm, W=Wf))
+    assert np.array_equal(gt[hvalid], wt[hvalid])
