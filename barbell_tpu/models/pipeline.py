@@ -112,19 +112,6 @@ def _pow2_at_least(x: int, lo: int = 8) -> int:
     return n
 
 
-def _ladder_pad(x: int, base: int) -> int:
-    """Pad x to a sparse ladder anchored off pow2 boundaries.
-
-    Hit counts hover right at 1/2 and 1x of the batch size, so pow2
-    padding flip-flops between sizes batch-to-batch and every flip is a
-    fresh XLA compilation (expensive under remote compile).  The ladder
-    {5*base/8 * 2^k} sits away from those attractors."""
-    n = max((5 * base) // 8, 8)
-    while n < x:
-        n *= 2
-    return n
-
-
 @dataclass
 class _Row:
     strand: Strand
@@ -136,21 +123,6 @@ class _Row:
     true_end: bool  # row contains the read's true end (at tec)
     lo: int  # valid end-position range, column coords
     hi: int
-
-
-@dataclass
-class _Hit:
-    read_idx: int
-    strand: Strand
-    end_abs: int  # end position in strand-space text coords
-    end_col: int  # end position in row column coords
-    cost: int  # scaled
-    row: int
-    row_offset: int
-    row_tsc: int
-    true_start: bool
-    true_end: bool
-    tec: int
 
 
 class _GroupPlan:
@@ -179,6 +151,17 @@ class _GroupPlan:
             Strand.Fwd: np.asarray(group.patterns_fwd, dtype=np.uint8),
             Strand.Rc: np.asarray(group.patterns_rc, dtype=np.uint8),
         }
+        self.n_patterns = self.patterns[Strand.Fwd].shape[0]
+        self.patterns_all = np.concatenate(
+            [self.patterns[Strand.Fwd], self.patterns[Strand.Rc]], axis=0
+        )
+        # Device-resident copies (set by the engine: one upload at init
+        # instead of a re-transfer on every batch).
+        self.flank_dev = None
+        self.patw_dev = None
+        self.patterns_dev: Dict[Strand, object] = {}
+        self.patterns_all_dev = None
+        self._scalars_dev: Dict[int, tuple] = {}  # step -> (gi, gf)
 
 
 class JaxDemuxEngine:
@@ -204,6 +187,14 @@ class JaxDemuxEngine:
         self.max_row_len = max_row_len
         self.K = max_hits_per_row
         self.plans = [_GroupPlan(g) for g in self.groups]
+        for p in self.plans:
+            p.flank_dev = jax.numpy.asarray(p.flank)
+            p.patw_dev = jax.numpy.asarray(p.patw)
+            p.patterns_dev = {
+                s: jax.numpy.asarray(p.patterns[s])
+                for s in (Strand.Fwd, Strand.Rc)
+            }
+            p.patterns_all_dev = jax.numpy.asarray(p.patterns_all)
         self.halo = max(p.span for p in self.plans) + PADDING + 2
         self._fallback: Optional[Demuxer] = None
 
@@ -238,7 +229,6 @@ class JaxDemuxEngine:
     ) -> List[List[BarbellMatch]]:
         jnp = self._jnp
         B = len(seqs)
-        self._pad_base = max(B, 8)
         with _phase("encode"):
             fwd = [dna.encode(s) for s in seqs]
         lens = np.array([len(f) for f in fwd], dtype=np.int64)
@@ -317,107 +307,80 @@ class JaxDemuxEngine:
             rows_meta.append(_Row(Strand.Rc, ridx, 0, tsc, L, True, True, tsc, L))
             row_of_meta.append(R_host_pad + i)
 
-        start_col = np.full(R_total_pad, -1, dtype=np.int32)
-        end_col = np.full(R_total_pad, L + 2, dtype=np.int32)
-        lo_arr = np.zeros(R_total_pad, dtype=np.int32)
-        hi_arr = np.full(R_total_pad, -1, dtype=np.int32)
+        meta = np.zeros((R_total_pad, comp.META_COLS), dtype=np.int32)
+        meta[:, comp.M_HI] = -1
+        row_read = np.full(R_total_pad, -1, dtype=np.int64)
         for mi, rowm in enumerate(rows_meta):
             r = row_of_meta[mi]
-            start_col[r] = rowm.tsc if rowm.true_start else -1
-            end_col[r] = rowm.tec if rowm.true_end else L + 2
-            lo_arr[r] = rowm.lo
-            hi_arr[r] = rowm.hi
+            ridx = rowm.read_idx
+            if ridx in fwd_simple_row:
+                fsimple, brow, nch = fwd_simple_row[ridx], 0, 1
+            else:
+                cover = fwd_cover[ridx]
+                fsimple, brow, nch = -1, cover[0][1], len(cover)
+            meta[r] = (
+                rowm.tsc,
+                rowm.tec,
+                int(rowm.true_start),
+                int(rowm.true_end),
+                rowm.lo,
+                rowm.hi,
+                rowm.offset,
+                int(lens[ridx]),
+                int(rowm.strand is Strand.Rc),
+                fsimple,
+                brow,
+                nch,
+            )
+            row_read[r] = ridx
 
         with _phase("pack_upload"):
             host_packed_dev = jnp.asarray(comp.pack_rows_np(host_rows))
+            simple_idx_dev = jnp.asarray(simple_idx)
+            meta_dev = jnp.asarray(meta)
 
         results: List[List[BarbellMatch]] = [[] for _ in seqs]
         overflow_reads: set = set()
+        H_cap = R_total_pad
 
+        # Dispatch every group's fused call before fetching any result —
+        # multi-group kits overlap their device work.
+        pending = []
         for gplan in self.plans:
-            mk = gplan.m + gplan.k_units
-            emit_lo = np.zeros(R_total_pad, dtype=np.int32)
-            emit_hi = np.full(R_total_pad, -1, dtype=np.int32)
-            for mi, rowm in enumerate(rows_meta):
-                r = row_of_meta[mi]
-                emit_lo[r] = rowm.tsc + mk + 2 if rowm.true_start else rowm.lo
-                emit_hi[r] = min(rowm.hi, rowm.tec - 2) if rowm.true_end else rowm.hi
+            with _phase("demux_call.dispatch"):
+                out_dev = self._dispatch_group(
+                    gplan, host_packed_dev, simple_idx_dev, meta_dev, step, H_cap
+                )
+            pending.append((gplan, out_dev))
 
-            with _phase("flank_scan.dispatch"):
-                scan = comp.flank_scan(
-                jnp.asarray(gplan.flank),
-                jnp.asarray(gplan.patw),
-                host_packed_dev,
-                jnp.asarray(simple_idx),
-                jnp.asarray(start_col),
-                jnp.asarray(end_col),
-                jnp.asarray(lo_arr),
-                jnp.asarray(hi_arr),
-                jnp.asarray(emit_lo),
-                jnp.asarray(emit_hi),
-                jnp.int32(self.alpha_scaled),
-                K=self.K,
-                use_pallas=self.use_pallas,
-                interpret=self._on_cpu,
-                m=gplan.m,
-                k_units=gplan.k_units,
-                W_words=gplan.W_words,
-                top_bit=gplan.top_bit,
-            )
-            rows_dev = scan.rows
-            with _phase("flank_scan.fetch"):
-                packed_np = np.asarray(scan.packed)
-            col, cost, valid, count = comp.unpack_flank_scan(packed_np, self.K)
-
-            hits: Dict[Strand, List[_Hit]] = {Strand.Fwd: [], Strand.Rc: []}
-            _t_hits = _time.perf_counter() if _TIMING else 0.0
-            for mi, rowm in enumerate(rows_meta):
-                r = row_of_meta[mi]
-                if count[r] > self.K:
-                    overflow_reads.add(rowm.read_idx)
-                    continue
-                for k in range(self.K):
-                    if not valid[r, k]:
-                        continue
-                    c = int(col[r, k])
-                    hits[rowm.strand].append(
-                        _Hit(
-                            read_idx=rowm.read_idx,
-                            strand=rowm.strand,
-                            end_abs=rowm.offset + (c - rowm.tsc),
-                            end_col=c,
-                            cost=int(cost[r, k]),
-                            row=r,
-                            row_offset=rowm.offset,
-                            row_tsc=rowm.tsc,
-                            true_start=rowm.true_start,
-                            true_end=rowm.true_end,
-                            tec=rowm.tec,
-                        )
+        for gplan, out_dev in pending:
+            with _phase("demux_call.fetch"):
+                out_np = np.asarray(out_dev)
+            cap = H_cap
+            rec = out_np[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
+            counts = out_np[cap * comp.REC_COLS : cap * comp.REC_COLS + R_total_pad]
+            total = int(out_np[-1])
+            if total > cap:
+                # Hit-dense batch (many constructs per read): one retry
+                # at a larger static capacity, then whole-batch fallback.
+                cap = _pow2_at_least(total, lo=4 * H_cap)
+                out_np = np.asarray(
+                    self._dispatch_group(
+                        gplan, host_packed_dev, simple_idx_dev, meta_dev, step, cap
                     )
-
-            if _TIMING:
-                acc = TIMINGS.setdefault("hit_extract.host", [0.0, 0])
-                acc[0] += _time.perf_counter() - _t_hits
-                acc[1] += 1
-            # Forward hits first, then rc — preserves the scalar engine's
-            # per-read row order after assembly.
-            live = [
-                h
-                for strand in (Strand.Fwd, Strand.Rc)
-                for h in sorted(hits[strand], key=lambda h: (h.read_idx, h.end_abs))
-                if h.read_idx not in overflow_reads
-            ]
-            if live:
-                self._process_hits(
-                    gplan,
-                    live,
-                    rows_dev,
-                    fwd_simple_row,
-                    fwd_cover,
-                    lens,
-                    results,
-                    read_ids,
+                )
+                rec = out_np[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
+                counts = out_np[cap * comp.REC_COLS : cap * comp.REC_COLS + R_total_pad]
+                total = int(out_np[-1])
+                if total > cap:
+                    overflow_reads.update(range(B))
+                    continue
+            for r in np.nonzero(counts > self.K)[0]:
+                if row_read[r] >= 0:
+                    overflow_reads.add(int(row_read[r]))
+            with _phase("assemble.host"):
+                self._assemble(
+                    gplan, rec, row_read, meta, lens, overflow_reads, results, read_ids
                 )
 
         for ridx in overflow_reads:
@@ -433,200 +396,137 @@ class JaxDemuxEngine:
 
     # ------------------------------------------------------------------
 
-    def _fwd_row_for_window(
-        self, fwd_simple_row, fwd_cover, ridx: int, bstart: int, bend: int, L: int
-    ) -> Tuple[int, int]:
-        """(row, offset) of a fwd row fully covering [bstart, bend)."""
-        simple = fwd_simple_row.get(ridx)
-        if simple is not None:
-            return simple, 0
-        best = fwd_cover[ridx][0]
-        for offset, row in fwd_cover[ridx]:
-            if offset <= bstart:
-                best = (offset, row)
-            else:
-                break
-        offset, row = best
-        assert bend <= offset + L, "barcode window escapes its chunk row"
-        return row, offset
-
-    def _process_hits(
-        self,
-        gplan: _GroupPlan,
-        hits: List[_Hit],
-        rows_dev,
-        fwd_simple_row,
-        fwd_cover,
-        lens: np.ndarray,
-        results: List[List[BarbellMatch]],
-        read_ids: List[str],
-    ) -> None:
+    def _dispatch_group(
+        self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
+        step: int, H_cap: int,
+    ):
         jnp = self._jnp
-        L = int(rows_dev.shape[1])
-        H = len(hits)
-        H_pad = _ladder_pad(H, 2 * self._pad_base)
-        Wf = gplan.span
-
-        # ---- Stage 2: flank traceback (both strands, one call) --------
-        row_idx = np.zeros(H_pad, dtype=np.int32)
-        win_start = np.zeros(H_pad, dtype=np.int32)
-        left_edge = np.zeros(H_pad, dtype=bool)
-        right_pos = np.full(H_pad, -1, dtype=np.int32)
-        end_j = np.zeros(H_pad, dtype=np.int32)
-        hvalid = np.zeros(H_pad, dtype=bool)
-        for h, hit in enumerate(hits):
-            s_col = max(hit.row_tsc, hit.end_col - Wf)
-            row_idx[h] = hit.row
-            win_start[h] = s_col
-            w_len = hit.end_col - s_col
-            end_j[h] = w_len
-            left_edge[h] = hit.true_start and s_col == hit.row_tsc
-            right_pos[h] = w_len if (hit.true_end and hit.end_col == hit.tec) else -1
-            hvalid[h] = True
-
-        with _phase("flank_trace"):
-            tr = np.asarray(
-                comp.flank_trace(
-                jnp.asarray(gplan.flank),
-                rows_dev,
-                jnp.asarray(row_idx),
-                jnp.asarray(win_start),
-                jnp.asarray(left_edge),
-                jnp.asarray(right_pos),
-                jnp.asarray(end_j),
-                jnp.asarray(hvalid),
-                jnp.int32(gplan.mask_start),
-                jnp.int32(gplan.mask_end),
-                jnp.int32(self.alpha_scaled),
-                m=gplan.m,
-                W=Wf,
+        cache = gplan._scalars_dev
+        key = int(step)
+        if key not in cache:
+            cache[key] = (
+                jnp.asarray(
+                    np.array(
+                        [
+                            self.alpha_scaled,
+                            gplan.mask_start,
+                            gplan.mask_end,
+                            gplan.k1_scaled,
+                            gplan.rel_bar_start,
+                            gplan.rel_bar_end,
+                            step,
+                        ],
+                        dtype=np.int32,
+                    )
+                ),
+                jnp.asarray(
+                    np.array(
+                        [gplan.perfect, self.min_score, self.min_score_diff],
+                        dtype=np.float32,
+                    )
+                ),
             )
+        gi_dev, gf_dev = cache[key]
+        return comp.demux_call(
+            gplan.flank_dev,
+            gplan.patw_dev,
+            gplan.patterns_all_dev,
+            host_packed_dev,
+            simple_idx_dev,
+            meta_dev,
+            gi_dev,
+            gf_dev,
+            K=self.K,
+            m=gplan.m,
+            k_units=gplan.k_units,
+            W_words=gplan.W_words,
+            top_bit=gplan.top_bit,
+            Wf=gplan.span,
+            plen=gplan.plen,
+            Wb=gplan.barcode_window,
+            P=gplan.n_patterns,
+            H_cap=H_cap,
+            padding=PADDING,
+            use_pallas=self.use_pallas,
+            interpret=self._on_cpu,
         )
-        flank_start_w = tr[:, 0]
-        region_lo = tr[:, 1]
-        region_hi = tr[:, 2]
-        has_region = tr[:, 3] != 0
 
-        # ---- Host: regions -> fwd barcode windows ---------------------
-        sub: Dict[Strand, List[Tuple[_Hit, int, int, int, int, int]]] = {
-            Strand.Fwd: [],
-            Strand.Rc: [],
-        }
-        for h, hit in enumerate(hits):
-            if not has_region[h]:
-                continue
-            n = int(lens[hit.read_idx])
-            # window-relative -> strand text coords
-            s_text = hit.row_offset + (int(win_start[h]) - hit.row_tsc)
-            lo = s_text + int(region_lo[h])
-            hi = s_text + int(region_hi[h])
-            if hit.strand is Strand.Rc:
-                lo, hi = n - hi, n - lo
-            bstart = max(0, lo - PADDING)
-            bend = min(hi + PADDING, n)
-            if bend <= bstart:
-                continue
-            frow, foff = self._fwd_row_for_window(
-                fwd_simple_row, fwd_cover, hit.read_idx, bstart, bend, L
-            )
-            sub[hit.strand].append(
-                (hit, s_text + int(flank_start_w[h]), bstart, bend, frow, foff)
-            )
-
-        # ---- Stage 3: barcode rank, one call per strand (async) -------
-        pending = []
-        for strand in (Strand.Fwd, Strand.Rc):
-            entries = sub[strand]
-            if not entries:
-                continue
-            H2_pad = _ladder_pad(len(entries), self._pad_base)
-            Wb = gplan.barcode_window
-            b_row = np.zeros(H2_pad, dtype=np.int32)
-            b_start = np.zeros(H2_pad, dtype=np.int32)
-            b_len = np.zeros(H2_pad, dtype=np.int32)
-            b_valid = np.zeros(H2_pad, dtype=bool)
-            for h, (hit, _fs, bstart, bend, frow, foff) in enumerate(entries):
-                b_row[h] = frow
-                b_start[h] = bstart - foff  # fwd rows have tsc == 0
-                b_len[h] = bend - bstart
-                b_valid[h] = True
-            with _phase("barcode_rank.dispatch"):
-                rank_dev = comp.barcode_rank(
-                jnp.asarray(gplan.patterns[strand]),
-                rows_dev,
-                jnp.asarray(b_row),
-                jnp.asarray(b_start),
-                jnp.asarray(b_len),
-                jnp.asarray(b_valid),
-                jnp.int32(gplan.k1_scaled),
-                jnp.int32(gplan.rel_bar_start),
-                jnp.int32(gplan.rel_bar_end),
-                jnp.float32(gplan.perfect),
-                jnp.float32(self.min_score),
-                jnp.float32(self.min_score_diff),
-                m=gplan.plen,
-                W=Wb,
-                use_pallas=self.use_pallas,
-                interpret=self._on_cpu,
-            )
-            pending.append((strand, entries, rank_dev))
-
-        # ---- Row assembly (fetch both strands' results) ----------------
-        # NOTE: assembly must preserve [all fwd hits..., all rc hits...]
-        # order per read, which `pending` iteration provides.
+    def _assemble(
+        self, gplan: _GroupPlan, rec, row_read, meta, lens,
+        overflow_reads, results, read_ids,
+    ) -> None:
+        """BarbellMatch rows from the fused call's packed records, in the
+        scalar engine's order: per read, fwd hits then rc hits, each by
+        ascending end position (chunk dedup makes the key unique)."""
         group = gplan.group
-        for _strand, entries, rank_dev in pending:
-            with _phase("barcode_rank.fetch"):
-                rank = np.asarray(rank_dev)
-            for h, (hit, flank_start_text, bstart, _bend, _frow, _foff) in enumerate(
-                entries
-            ):
-                n = int(lens[hit.read_idx])
-                if hit.strand is Strand.Fwd:
-                    fs, fe = flank_start_text, hit.end_abs
-                else:
-                    fs, fe = oracle.rc_span_to_fwd(flank_start_text, hit.end_abs, n)
-
-                if rank[h, 1] != 0:
-                    if rank[h, 7] == 0:
-                        raise RuntimeError("No barcode match region found; unusual")
-                    barcode = group.barcodes[int(rank[h, 0])]
-                    results[hit.read_idx].append(
-                        BarbellMatch(
-                            read_id=read_ids[hit.read_idx],
-                            read_len=n,
-                            rel_dist_to_end=rel_dist_to_end(fs, n),
-                            read_start_bar=bstart + int(rank[h, 2]),
-                            read_end_bar=bstart + int(rank[h, 3]),
-                            read_start_flank=fs,
-                            read_end_flank=fe,
-                            bar_start=bstart + int(rank[h, 4]),
-                            bar_end=bstart + int(rank[h, 5]),
-                            match_type=barcode.match_type,
-                            flank_cost=oracle.cost_to_int(hit.cost),
-                            barcode_cost=int(rank[h, 6]),
-                            label=barcode.label,
-                            strand=hit.strand,
-                            cuts=None,
-                        )
+        P = gplan.n_patterns
+        lanes = np.nonzero(rec[:, comp.REC_HAS] == 1)[0]
+        if lanes.size == 0:
+            return
+        rows = rec[lanes, comp.REC_ROW]
+        reads = row_read[rows]
+        isrc = meta[rows, comp.M_ISRC]
+        end_abs = (
+            meta[rows, comp.M_OFF] + rec[lanes, comp.REC_COL] - meta[rows, comp.M_TSC]
+        )
+        order = np.lexsort((end_abs, isrc, reads))
+        flank_type = group.barcodes[0].match_type.as_flank()
+        flank_cost_len = len(group.barcodes[0].seq)
+        for oi in order:
+            lane = int(lanes[oi])
+            ridx = int(reads[oi])
+            if ridx in overflow_reads:
+                continue
+            n = int(lens[ridx])
+            strand = Strand.Rc if isrc[oi] else Strand.Fwd
+            fs_t = int(rec[lane, comp.REC_FSTEXT])
+            fe_t = int(end_abs[oi])
+            if strand is Strand.Rc:
+                fs, fe = oracle.rc_span_to_fwd(fs_t, fe_t, n)
+            else:
+                fs, fe = fs_t, fe_t
+            flank_cost = oracle.cost_to_int(int(rec[lane, comp.REC_COST]))
+            if rec[lane, comp.REC_ACC]:
+                if rec[lane, comp.REC_HASIV] == 0:
+                    raise RuntimeError("No barcode match region found; unusual")
+                bstart = int(rec[lane, comp.REC_BSTART])
+                barcode = group.barcodes[int(rec[lane, comp.REC_TOP]) % P]
+                results[ridx].append(
+                    BarbellMatch(
+                        read_id=read_ids[ridx],
+                        read_len=n,
+                        rel_dist_to_end=rel_dist_to_end(fs, n),
+                        read_start_bar=bstart + int(rec[lane, comp.REC_IVPJ]),
+                        read_end_bar=bstart + int(rec[lane, comp.REC_IVEJ]),
+                        read_start_flank=fs,
+                        read_end_flank=fe,
+                        bar_start=bstart + int(rec[lane, comp.REC_IVPI]),
+                        bar_end=bstart + int(rec[lane, comp.REC_IVEI]),
+                        match_type=barcode.match_type,
+                        flank_cost=flank_cost,
+                        barcode_cost=int(rec[lane, comp.REC_IVCOST]),
+                        label=barcode.label,
+                        strand=strand,
+                        cuts=None,
                     )
-                else:
-                    results[hit.read_idx].append(
-                        BarbellMatch(
-                            read_id=read_ids[hit.read_idx],
-                            read_len=n,
-                            rel_dist_to_end=rel_dist_to_end(fs, n),
-                            read_start_bar=fs,
-                            read_end_bar=fe,
-                            read_start_flank=fs,
-                            read_end_flank=fe,
-                            bar_start=0,
-                            bar_end=0,
-                            match_type=group.barcodes[0].match_type.as_flank(),
-                            flank_cost=oracle.cost_to_int(hit.cost),
-                            barcode_cost=len(group.barcodes[0].seq),
-                            label="flank",
-                            strand=hit.strand,
-                            cuts=None,
-                        )
+                )
+            else:
+                results[ridx].append(
+                    BarbellMatch(
+                        read_id=read_ids[ridx],
+                        read_len=n,
+                        rel_dist_to_end=rel_dist_to_end(fs, n),
+                        read_start_bar=fs,
+                        read_end_bar=fe,
+                        read_start_flank=fs,
+                        read_end_flank=fe,
+                        bar_start=0,
+                        bar_end=0,
+                        match_type=flank_type,
+                        flank_cost=flank_cost,
+                        barcode_cost=flank_cost_len,
+                        label="flank",
+                        strand=strand,
+                        cuts=None,
                     )
+                )

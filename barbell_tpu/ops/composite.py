@@ -96,21 +96,24 @@ def _window_cols(rows, starts, W):
     return jnp.take(rows.reshape(-1), rowbase + cols)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("K", "use_pallas", "interpret", "m", "k_units", "W_words", "top_bit"),
-)
-def flank_scan(
-    pattern,  # [m] u8 masks
-    patw,  # [4, W_words] u32 pattern membership words (pallas path)
-    host_packed,  # [R_host, L/2] nibble-packed fwd simple + fwd/rc chunk rows
-    simple_idx,  # [S] host-row indices of fwd simple reads
-    start_col,  # [R_total]
-    end_col,  # [R_total]
-    lo,  # [R_total] valid end-col range
-    hi,  # [R_total]
-    emit_lo,  # [R_total] kernel emission range (pallas path)
-    emit_hi,  # [R_total]
+def _assemble_rows(host_packed, simple_idx):
+    """Unpack nibble-packed host rows and synthesize rc simple rows."""
+    host_rows = unpack_rows(host_packed)
+    rc_simple = _complement_masks(host_rows[simple_idx][:, ::-1])
+    rows = jnp.concatenate([host_rows, rc_simple], axis=0)
+    return jax.lax.optimization_barrier(rows)
+
+
+def _scan_keys(
+    pattern,
+    patw,
+    rows,
+    start_col,
+    end_col,
+    lo,
+    hi,
+    emit_lo,
+    emit_hi,
     alpha_scaled,
     K: int,
     use_pallas: bool,
@@ -119,11 +122,8 @@ def flank_scan(
     k_units: int,
     W_words: int,
     top_bit: int,
-) -> FlankScanOut:
-    host_rows = unpack_rows(host_packed)
-    rc_simple = _complement_masks(host_rows[simple_idx][:, ::-1])
-    rows = jnp.concatenate([host_rows, rc_simple], axis=0)
-    rows = jax.lax.optimization_barrier(rows)
+):
+    """Top-K flank valley keys (cost*L_key + col) + total count per row."""
     R, L = rows.shape
     L_key = L + 2
     k_scaled = k_units * UNIT
@@ -197,10 +197,274 @@ def flank_scan(
         key_top = -neg
         count = kernel_count + lcount + rcount
 
+    return key_top, count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "use_pallas", "interpret", "m", "k_units", "W_words", "top_bit"),
+)
+def flank_scan(
+    pattern,  # [m] u8 masks
+    patw,  # [4, W_words] u32 pattern membership words (pallas path)
+    host_packed,  # [R_host, L/2] nibble-packed fwd simple + fwd/rc chunk rows
+    simple_idx,  # [S] host-row indices of fwd simple reads
+    start_col,  # [R_total]
+    end_col,  # [R_total]
+    lo,  # [R_total] valid end-col range
+    hi,  # [R_total]
+    emit_lo,  # [R_total] kernel emission range (pallas path)
+    emit_hi,  # [R_total]
+    alpha_scaled,
+    K: int,
+    use_pallas: bool,
+    interpret: bool,
+    m: int,
+    k_units: int,
+    W_words: int,
+    top_bit: int,
+) -> FlankScanOut:
+    rows = _assemble_rows(host_packed, simple_idx)
+    L_key = rows.shape[1] + 2
+    key_top, count = _scan_keys(
+        pattern, patw, rows, start_col, end_col, lo, hi, emit_lo, emit_hi,
+        alpha_scaled, K=K, use_pallas=use_pallas, interpret=interpret,
+        m=m, k_units=k_units, W_words=W_words, top_bit=top_bit,
+    )
     pos = jnp.where(key_top < BIG, key_top % L_key, 0)
     cost = jnp.where(key_top < BIG, key_top // L_key, BIG)
     packed = jnp.concatenate([pos, cost, count[:, None]], axis=1).astype(jnp.int32)
     return FlankScanOut(rows=rows, packed=packed)
+
+
+# Column layout of the fused demux_call per-hit record.
+REC_COLS = 14
+(REC_ROW, REC_COL, REC_COST, REC_HAS, REC_BSTART, REC_FSTEXT, REC_TOP,
+ REC_ACC, REC_IVPJ, REC_IVEJ, REC_IVPI, REC_IVEI, REC_IVCOST,
+ REC_HASIV) = range(REC_COLS)
+
+# Column layout of the per-row metadata matrix demux_call consumes.
+META_COLS = 12
+(M_TSC, M_TEC, M_TSTART, M_TEND, M_LO, M_HI, M_OFF, M_N, M_ISRC,
+ M_FSIMPLE, M_BASEROW, M_NCHUNKS) = range(META_COLS)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "m", "k_units", "W_words", "top_bit", "Wf", "plen", "Wb",
+        "P", "H_cap", "padding", "use_pallas", "interpret", "_stages",
+    ),
+)
+def demux_call(
+    flank,  # [m] u8 flank masks
+    patw,  # [4, W_words] u32 (pallas scan path)
+    patterns_all,  # [2P, m] u8: fwd pattern stack then rc stack
+    host_packed,  # [R_host_pad, L/2] nibble-packed rows
+    simple_idx,  # [S_pad] host-row indices of fwd simple reads
+    meta,  # [R_total_pad, META_COLS] int32 per-row metadata
+    gi,  # [7] int32: alpha, mask_a, mask_b, k1, iv_a, iv_b, step —
+    #     packed so a batch ships 2 small arrays, not 10 scalar uploads
+    gf,  # [3] f32: perfect, min_score, min_score_diff
+    K: int,
+    m: int,
+    k_units: int,
+    W_words: int,
+    top_bit: int,
+    Wf: int,  # flank trace window span
+    plen: int,  # barcode pattern length
+    Wb: int,  # barcode window width
+    P: int,  # patterns per strand
+    H_cap: int,  # hit-lane capacity
+    padding: int,  # barcode window padding (PADDING)
+    use_pallas: bool,
+    interpret: bool,
+    _stages: int = 4,  # debug: 1=scan, 2=+trace, 3=+rank1, 4=full
+):
+    """The full demux pipeline for one (group, batch) in ONE device call.
+
+    Fuses flank scan -> hit compaction -> flank traceback -> barcode
+    window mapping -> barcode rank, eliminating the three intermediate
+    host round trips (~30-50ms each on a remote chip) and the host-side
+    hit bookkeeping.  Returns one flat int32 array:
+    ``[H_cap * REC_COLS hit records] ++ [R valley counts] ++ [total]``.
+    Hits beyond H_cap are dropped on device — the caller must check
+    ``total <= H_cap`` and retry with a larger capacity (or fall back).
+
+    Semantics per stage are identical to flank_scan / flank_trace /
+    barcode_rank (conformance-tested); the only difference is that both
+    strands run through one barcode-rank pass over the concatenated
+    [fwd; rc] pattern stack with a per-lane strand mask.
+    """
+    alpha_scaled, mask_a, mask_b = gi[0], gi[1], gi[2]
+    k1_scaled, iv_a, iv_b, step = gi[3], gi[4], gi[5], gi[6]
+    perfect, min_score, min_score_diff = gf[0], gf[1], gf[2]
+
+    rows = _assemble_rows(host_packed, simple_idx)
+    R, L = rows.shape
+    L_key = L + 2
+
+    tsc = meta[:, M_TSC]
+    tec = meta[:, M_TEC]
+    true_start = meta[:, M_TSTART] != 0
+    true_end = meta[:, M_TEND] != 0
+    v_lo = meta[:, M_LO]
+    v_hi = meta[:, M_HI]
+    start_col = jnp.where(true_start, tsc, -1)
+    end_col = jnp.where(true_end, tec, L + 2)
+    mk = m + k_units
+    emit_lo = jnp.where(true_start, tsc + mk + 2, v_lo)
+    emit_hi = jnp.where(true_end, jnp.minimum(v_hi, tec - 2), v_hi)
+
+    key_top, count = _scan_keys(
+        flank, patw, rows, start_col, end_col, v_lo, v_hi, emit_lo, emit_hi,
+        alpha_scaled, K=K, use_pallas=use_pallas, interpret=interpret,
+        m=m, k_units=k_units, W_words=W_words, top_bit=top_bit,
+    )
+
+    # ---- compact valid hits into H_cap lanes ---------------------------
+    flat_valid = (key_top < BIG).reshape(-1)
+    total = flat_valid.sum(dtype=jnp.int32)
+    flat_idx = jnp.arange(R * K, dtype=jnp.int32)
+    order = jnp.argsort(jnp.where(flat_valid, flat_idx, jnp.int32(BIG)))
+    take = order[:H_cap]
+    hvalid = flat_valid[take]
+    hrow = take // K
+    hkey = key_top.reshape(-1)[take]
+    hcol = jnp.where(hvalid, hkey % L_key, 0)
+    hcost = jnp.where(hvalid, hkey // L_key, 0)
+
+    hm = meta[hrow]  # [H_cap, META_COLS]
+    h_tsc, h_tec = hm[:, M_TSC], hm[:, M_TEC]
+    h_tstart, h_tend = hm[:, M_TSTART] != 0, hm[:, M_TEND] != 0
+    h_off, h_n = hm[:, M_OFF], hm[:, M_N]
+    h_isrc = hm[:, M_ISRC]
+
+    # ---- flank traceback (forward-summary DP) --------------------------
+    s_col = jnp.maximum(h_tsc, hcol - Wf)
+    w_len_tr = hcol - s_col
+    left_edge = h_tstart & (s_col == h_tsc)
+    right_pos = jnp.where(h_tend & (hcol == h_tec), w_len_tr, -1)
+    tw = _gather_windows(rows, hrow, s_col, Wf)
+    jposf = jnp.arange(Wf, dtype=jnp.int32)
+    tw = jnp.where(jposf[None, :] < w_len_tr[:, None], tw, 0)
+    summ = window_dp_summary(
+        flank[None, None, :], tw, left_edge, right_pos, alpha_scaled,
+        mask_a, mask_b, jnp.int32(0), jnp.int32(0),
+        with_region=True, with_start=True,
+    )
+
+    def at_end(arr):
+        return jnp.take_along_axis(arr[:, 0, :], w_len_tr[:, None], axis=1)[:, 0]
+
+    f_ts = at_end(summ.text_start)
+    rlo = at_end(summ.region_lo)
+    rhi = at_end(summ.region_hi)
+
+    # ---- map mask region to a padded fwd barcode window ----------------
+    s_text = h_off + (s_col - h_tsc)
+    lo_t = s_text + rlo
+    hi_t = s_text + rhi
+    lo2 = jnp.where(h_isrc != 0, h_n - hi_t, lo_t)
+    hi2 = jnp.where(h_isrc != 0, h_n - lo_t, hi_t)
+    bstart = jnp.maximum(0, lo2 - padding)
+    bend = jnp.minimum(hi2 + padding, h_n)
+    has2 = hvalid & (rhi >= 0) & (bend > bstart)
+    fs_text = s_text + f_ts
+
+    simple = hm[:, M_FSIMPLE] >= 0
+    k_idx = jnp.clip(
+        jnp.where(step > 0, bstart // jnp.maximum(step, 1), 0),
+        0,
+        jnp.maximum(hm[:, M_NCHUNKS] - 1, 0),
+    )
+    frow = jnp.where(simple, hm[:, M_FSIMPLE], hm[:, M_BASEROW] + k_idx)
+    frow = jnp.clip(frow, 0, R - 1)
+    foff = jnp.where(simple, 0, k_idx * step)
+    b_startw = jnp.maximum(bstart - foff, 0)
+    b_len = jnp.where(has2, bend - bstart, 0)
+
+    # ---- barcode rank over the concatenated fwd+rc pattern stack -------
+    windows = _gather_windows(rows, frow, b_startw, Wb)
+    jposb = jnp.arange(Wb, dtype=jnp.int32)
+    windows = jnp.where(jposb[None, :] < b_len[:, None], windows, 0)
+
+    Pa = patterns_all.shape[0]  # 2P
+    if use_pallas and Wb <= 255:
+        key2, lodhi_best = rank_pass1(
+            patterns_all, windows, b_len, interpret=interpret
+        )
+        best_cost = key2 // 256
+        best_pos = key2 % 256
+    else:
+        no_edge = jnp.zeros(H_cap, dtype=bool)
+        no_right = jnp.full(H_cap, -1, dtype=jnp.int32)
+        summ1 = window_dp_summary(
+            patterns_all[None, :, :], windows, no_edge, no_right,
+            jnp.int32(UNIT), jnp.int32(0), jnp.int32(-1), iv_a, iv_b,
+            with_lodhi=True,
+        )
+        best = best_valley_per_pattern(summ1.ends, b_len)
+        best_cost, best_pos = best.cost, best.pos
+        lodhi_best = jnp.take_along_axis(
+            summ1.lodhi, best_pos[:, :, None], axis=2
+        )[:, :, 0]
+
+    smask = (jnp.arange(Pa, dtype=jnp.int32)[None, :] // P) == h_isrc[:, None]
+    in_k1 = (best_cost <= k1_scaled) & smask
+    matched = in_k1.sum(axis=1)
+    use_all = matched <= 1
+    cand = (use_all[:, None] | in_k1) & has2[:, None] & smask
+
+    scores = jnp.where(cand, lodhi_best / perfect, -jnp.inf)
+    top = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    top_norm = jnp.take_along_axis(scores, top[:, None], axis=1)[:, 0]
+    rest = jnp.where(jnp.arange(Pa)[None, :] == top[:, None], -jnp.inf, scores)
+    second_norm = jnp.max(rest, axis=1)
+    n_cand = cand.sum(axis=1)
+    accepted = (top_norm >= min_score) & (
+        (n_cand <= 1) | ((top_norm - second_norm) >= min_score_diff)
+    )
+    accepted = accepted & has2 & (n_cand > 0)
+
+    # interval mapping for the winner only
+    pat_top = jnp.take(patterns_all, top, axis=0)
+    summ2 = window_dp_summary(
+        pat_top[:, None, :], windows,
+        jnp.zeros(H_cap, dtype=bool), jnp.full(H_cap, -1, dtype=jnp.int32),
+        jnp.int32(UNIT), jnp.int32(0), jnp.int32(-1), iv_a, iv_b,
+        with_interval=True,
+    )
+    end_top = jnp.take_along_axis(best_pos, top[:, None], axis=1)
+
+    def pick(arr):
+        return jnp.take_along_axis(arr[:, 0, :], end_top, axis=1)[:, 0]
+
+    def gate(x, lvl):  # debug stage gating; zeros_like lets XLA DCE the stage
+        return x if _stages >= lvl else jnp.zeros_like(x)
+
+    rec = jnp.stack(
+        [
+            hrow,
+            hcol,
+            hcost,
+            gate(has2.astype(jnp.int32), 2),
+            gate(bstart, 2),
+            gate(fs_text, 2),
+            gate(top, 3),
+            gate(accepted.astype(jnp.int32), 3),
+            gate(pick(summ2.iv_pj), 4),
+            gate(pick(summ2.iv_ej) + 1, 4),
+            gate(pick(summ2.iv_pi), 4),
+            gate(pick(summ2.iv_ei) + 1, 4),
+            gate(pick(summ2.iv_cost), 4),
+            gate(pick(summ2.has_interval.astype(jnp.int32)), 4),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+    return jnp.concatenate(
+        [rec.reshape(-1), count.astype(jnp.int32), total[None]]
+    )
 
 
 def unpack_flank_scan(packed, K: int):
