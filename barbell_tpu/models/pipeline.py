@@ -81,7 +81,7 @@ def timing_report() -> str:
     return "\n".join(lines)
 
 
-def engine_map_batches(engine, batches, depth: int = 2):
+def engine_map_batches(engine, batches, depth: int = 4):
     """Run ``engine.demux_batch`` over an iterator of (ids, seqs) batches
     with ``depth`` batches in flight on a worker thread.
 
@@ -175,6 +175,9 @@ class JaxDemuxEngine:
         max_hits_per_row: int = MAX_HITS_PER_ROW,
         use_pallas: Optional[bool] = None,
     ):
+        from ..utils.jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()  # must precede the first compile
         import jax  # deferred so the oracle path works without jax
 
         self._jax = jax
@@ -229,9 +232,8 @@ class JaxDemuxEngine:
     ) -> List[List[BarbellMatch]]:
         jnp = self._jnp
         B = len(seqs)
-        with _phase("encode"):
-            fwd = [dna.encode(s) for s in seqs]
-        lens = np.array([len(f) for f in fwd], dtype=np.int64)
+        seq_bytes = [dna.seq_to_bytes(s).tobytes() for s in seqs]
+        lens = np.array([len(s) for s in seq_bytes], dtype=np.int64)
         if B == 0 or lens.max(initial=0) == 0:
             return [[] for _ in seqs]
 
@@ -243,19 +245,17 @@ class JaxDemuxEngine:
         assert step > 0
 
         rows_meta: List[_Row] = []
-        host_content: List[np.ndarray] = []
         simple_reads: List[int] = []
         fwd_simple_row: Dict[int, int] = {}
         fwd_cover: Dict[int, List[Tuple[int, int]]] = {}
 
-        # --- simple reads (fit one row) --------------------------------
-        for ridx, arr in enumerate(fwd):
-            n = len(arr)
+        # --- simple reads (fit one row; raw bytes, native-encoded) -----
+        for ridx in range(B):
+            n = int(lens[ridx])
             if n == 0 or n > L:
                 continue
             fwd_simple_row[ridx] = len(rows_meta)
             simple_reads.append(ridx)
-            host_content.append(arr)
             rows_meta.append(_Row(Strand.Fwd, ridx, 0, 0, n, True, True, 0, n))
 
         # --- long reads: host-built fwd + rc chunk rows ----------------
@@ -269,9 +269,11 @@ class JaxDemuxEngine:
                 out.append((offset, L, offset == 0, False))
                 offset += step
 
-        long_reads = [r for r, arr in enumerate(fwd) if len(arr) > L]
+        long_content: List[np.ndarray] = []
+        long_reads = [r for r in range(B) if lens[r] > L]
         for ridx in long_reads:
-            arr = fwd[ridx]
+            with _phase("encode"):
+                arr = dna.encode(seq_bytes[ridx])
             n = len(arr)
             rc_arr = dna.reverse_complement_masks(arr)
             cover = []
@@ -279,7 +281,7 @@ class JaxDemuxEngine:
                 for offset, length, is_first, is_last in chunk_spans(n):
                     if strand is Strand.Fwd:
                         cover.append((offset, len(rows_meta)))
-                    host_content.append(text[offset : offset + length])
+                    long_content.append(text[offset : offset + length])
                     lo = 0 if is_first else self.halo + 1
                     hi = length if is_last else L - 1 - PADDING
                     rows_meta.append(
@@ -293,9 +295,10 @@ class JaxDemuxEngine:
         S_pad = _pow2_at_least(max(S, 1), lo=8)
         R_total_pad = R_host_pad + S_pad
 
-        host_rows = np.zeros((R_host_pad, L), dtype=np.uint8)
-        for r, content in enumerate(host_content):
-            host_rows[r, : len(content)] = content
+        with _phase("encode"):
+            host_packed = self._pack_host_rows(
+                seq_bytes, simple_reads, long_content, R_host_pad, L
+            )
 
         simple_idx = np.zeros(S_pad, dtype=np.int32)
         # rc simple rows occupy device rows [R_host_pad, R_host_pad + S)
@@ -335,7 +338,7 @@ class JaxDemuxEngine:
             row_read[r] = ridx
 
         with _phase("pack_upload"):
-            host_packed_dev = jnp.asarray(comp.pack_rows_np(host_rows))
+            host_packed_dev = jnp.asarray(host_packed)
             simple_idx_dev = jnp.asarray(simple_idx)
             meta_dev = jnp.asarray(meta)
 
@@ -395,6 +398,50 @@ class JaxDemuxEngine:
         return out
 
     # ------------------------------------------------------------------
+
+    def _pack_host_rows(
+        self, seq_bytes, simple_reads, long_content, R_host_pad: int, L: int
+    ) -> np.ndarray:
+        """[R_host_pad, L/2] nibble-packed rows: simple reads encoded +
+        packed by the native extension (releases the GIL), long-read
+        chunk rows (already IUPAC masks) packed with numpy."""
+        import ctypes
+
+        from ..native import get_lib
+
+        S = len(simple_reads)
+        packed = np.zeros((R_host_pad, L // 2), dtype=np.uint8)
+        lib = get_lib()
+        if S and lib is not None:
+            blob = b"".join(seq_bytes[r] for r in simple_reads)
+            offs = np.zeros(S, dtype=np.int64)
+            ls = np.zeros(S, dtype=np.int32)
+            pos = 0
+            for i, r in enumerate(simple_reads):
+                offs[i] = pos
+                ls[i] = len(seq_bytes[r])
+                pos += ls[i]
+            lib.bbio_encode_pack_rows(
+                blob,
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                S,
+                L,
+                dna.ENCODE_LUT.tobytes(),
+                packed.ctypes.data_as(ctypes.c_char_p),
+            )
+        elif S:
+            rows = np.zeros((S, L), dtype=np.uint8)
+            for i, r in enumerate(simple_reads):
+                e = dna.encode(seq_bytes[r])
+                rows[i, : len(e)] = e
+            packed[:S] = comp.pack_rows_np(rows)
+        if long_content:
+            rows = np.zeros((len(long_content), L), dtype=np.uint8)
+            for i, content in enumerate(long_content):
+                rows[i, : len(content)] = content
+            packed[S : S + len(long_content)] = comp.pack_rows_np(rows)
+        return packed
 
     def _dispatch_group(
         self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,

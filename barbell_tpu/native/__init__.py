@@ -86,6 +86,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.bbio_writer_close.restype = ctypes.c_int
         lib.bbio_writer_close.argtypes = [ctypes.c_void_p]
+        lib.bbio_encode_pack_rows.restype = None
+        lib.bbio_encode_pack_rows.argtypes = [
+            ctypes.c_char_p,  # concatenated seq bytes
+            ctypes.POINTER(ctypes.c_long),  # per-read offsets
+            ctypes.POINTER(ctypes.c_int),  # per-read lengths
+            ctypes.c_int,  # n reads
+            ctypes.c_int,  # L (row width, even)
+            ctypes.c_char_p,  # 256-entry encode LUT
+            ctypes.c_char_p,  # out buffer [n, L/2]
+        ]
         _lib = lib
         return _lib
 

@@ -153,6 +153,30 @@ struct Writer {
 
 extern "C" {
 
+// Encode IUPAC bytes through `lut` (256 entries, 4-bit masks) and
+// nibble-pack straight into padded device rows: out[i] is L/2 bytes,
+// low nibble = even column.  Releases the GIL via ctypes; this is the
+// host hot path feeding the TPU demux engine (replaces a per-read
+// numpy LUT gather + a whole-matrix numpy pack).
+void bbio_encode_pack_rows(const unsigned char* seqs, const long* offs,
+                           const int* lens, int n, int L,
+                           const unsigned char* lut, unsigned char* out) {
+    const int half = L / 2;
+    for (int i = 0; i < n; i++) {
+        const unsigned char* s = seqs + offs[i];
+        unsigned char* p = out + (long)i * half;
+        const int len = lens[i];
+        const int pairs = len / 2;
+        for (int j = 0; j < pairs; j++) {
+            p[j] = (unsigned char)((lut[s[2 * j]] & 0xF) |
+                                   ((lut[s[2 * j + 1]] & 0xF) << 4));
+        }
+        if (len & 1) p[pairs] = (unsigned char)(lut[s[len - 1]] & 0xF);
+        if (pairs + (len & 1) < half)
+            memset(p + pairs + (len & 1), 0, half - pairs - (len & 1));
+    }
+}
+
 void* bbio_reader_open(const char** paths, int n) {
     Reader* r = new Reader();
     for (int i = 0; i < n; i++) r->paths.emplace_back(paths[i]);

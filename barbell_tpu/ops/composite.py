@@ -63,8 +63,14 @@ def unpack_rows(packed):
 
 
 def pack_rows_np(rows):
-    """Host-side nibble packing (numpy)."""
-    return (rows[:, 0::2] | (rows[:, 1::2] << 4)).astype(rows.dtype)
+    """Host-side nibble packing (numpy).
+
+    Masks to 4 bits first: invalid bytes encode to 255, which would
+    otherwise clobber the neighbouring nibble (255 | x<<4 == 0xFF).
+    A 255 mask degrades to 15 (N) — matching the oracle's "matches
+    everything" semantics for unknown bytes."""
+    r = rows & 0xF
+    return (r[:, 0::2] | (r[:, 1::2] << 4)).astype(rows.dtype)
 
 
 class FlankScanOut(NamedTuple):
