@@ -27,6 +27,7 @@ score, trailing cost window) persists across L blocks in scratch.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 TILE = LANES * SUBLANES  # reads per grid row-block
+
+# Tuning knobs (fixed at import; changing them recompiles).  Swept on
+# the v5e bench: UNROLL 16 beats 4/8 by ~25% end-to-end (the fori_loop
+# body is overhead-bound); CL 512-2048 within noise.  Both must stay
+# powers of two (CL is clamped to L and must stay divisible by UNROLL).
+DEFAULT_CL = int(os.environ.get("BARBELL_MYERS_CL", "1024"))
+UNROLL = int(os.environ.get("BARBELL_MYERS_UNROLL", "16"))
 
 _BIGU = jnp.int32(1 << 20)
 
@@ -70,7 +78,9 @@ def _kernel(patw_ref, k_ref, m_ref, text_ref, lo_ref, hi_ref, out_ref,
     emit_lo = lo_ref[...]
     emit_hi = hi_ref[...]
     j0 = l_blk * CL
-    U = 4  # manual unroll (Mosaic fori_loop only supports full/no unroll)
+    # manual unroll (Mosaic fori_loop only supports full/no unroll)
+    U = min(UNROLL, CL)
+    assert CL % U == 0, (CL, U)
 
     def step(tu, _):
       for du in range(U):
@@ -185,7 +195,7 @@ def myers_valleys(
     emit_lo,  # jnp [R] int32
     emit_hi,  # jnp [R] int32
     k_units: "jnp.ndarray",  # int32 scalar array
-    CL: int = 2048,
+    CL: int = DEFAULT_CL,
     interpret: bool = False,
 ):
     """Valley-cost map [R, L] uint8 (cost in edit units, 255 = none)."""
@@ -205,7 +215,7 @@ def myers_valleys_from_words(
     emit_lo,
     emit_hi,
     k_units,
-    CL: int = 2048,
+    CL: int = DEFAULT_CL,
     interpret: bool = False,
 ):
     """As :func:`myers_valleys` but with precomputed pattern words
