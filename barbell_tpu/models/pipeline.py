@@ -6,13 +6,14 @@ Orchestrates the fused device composites in
 (:mod:`barbell_tpu.models.demux`) — that equivalence is enforced by
 tests.
 
-Per batch the engine issues a handful of fused device calls per group —
-one flank scan (Pallas Myers interior + exact alpha boundary windows on
-TPU), one flank traceback over both strands' hits, and one barcode-rank
-call per strand (dispatched together, fetched together).  Each call
-returns a single packed int32 array; the padded row buffer stays
-device-resident throughout; input rows ship nibble-packed (2 bases per
-byte).
+Per batch the engine issues ONE fused device call per group
+(:func:`barbell_tpu.ops.composite.demux_call`): flank scan (Pallas
+Myers interior + exact alpha boundary windows), top-K valley compaction
+into fixed hit lanes, flank traceback, barcode-window mapping and
+barcode rank all run on device and return a single packed int32 buffer.
+Input rows ship nibble-packed (2 bases per byte), encoded+packed by the
+native C++ extension in one GIL-free pass; batches pipeline 4-deep via
+:func:`engine_map_batches`.
 
 Row coordinate model: a device row holds text in columns
 ``[tsc, tec]``.  Forward rows are left-aligned (tsc=0); rc rows are

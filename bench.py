@@ -24,8 +24,8 @@ import numpy as np
 
 REFERENCE_CPU_READS_PER_SEC = 20_000.0  # nominal anchor; no published number
 
-N_READS = int(os.environ.get("BENCH_READS", "2048"))
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+N_READS = int(os.environ.get("BENCH_READS", "16384"))
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 
 
 def make_reads(n, seed=0):
