@@ -44,7 +44,12 @@ from .device import (
     window_dp,
     window_dp_summary,
 )
-from .pallas_myers import myers_valleys_from_words, pattern_words
+from .pallas_myers import TOPK as MYERS_TOPK
+from .pallas_myers import (
+    myers_topk_from_words,
+    myers_valleys_from_words,
+    pattern_words,
+)
 from .pallas_rank import rank_pass1
 
 
@@ -140,19 +145,16 @@ def _scan_keys(
         neg, idx = jax.lax.top_k(-key, K)
         key_top = -neg
     else:
-        # Interior: unit-cost Myers with in-kernel valley emission.
-        vmap_u8 = myers_valleys_from_words(
+        # Interior: unit-cost Myers with in-kernel top-K valley keys —
+        # materializing an [R, L] key map + lax.top_k costs more than
+        # the scan itself.  Rows with > TOPK interior valleys overflow
+        # (count is made to exceed K so the caller falls back).
+        keys8, kcnt = myers_topk_from_words(
             patw, W_words, top_bit, m, rows, emit_lo, emit_hi,
-            jnp.int32(k_units), interpret=interpret,
+            jnp.int32(k_units), UNIT * L_key, interpret=interpret,
         )
-        jpos = jnp.arange(L, dtype=jnp.int32)
-        kernel_key = jnp.where(
-            vmap_u8 < 255,
-            vmap_u8.astype(jnp.int32) * UNIT * L_key + jpos[None, :],
-            BIG,
-        )
-        kernel_count = (vmap_u8 < 255).sum(axis=1, dtype=jnp.int32)
-        kn, _ = jax.lax.top_k(-kernel_key, K)
+        kn = -keys8
+        kernel_count = jnp.where(kcnt > MYERS_TOPK, kcnt + K + 1, kcnt)
 
         # Left boundary window: exact alpha semantics near the read start.
         Wl = m + k_units + 3

@@ -62,9 +62,25 @@ def pattern_words(pattern_masks: np.ndarray):
     return words, W, (m - 1) % 32
 
 
-def _kernel(patw_ref, k_ref, m_ref, text_ref, lo_ref, hi_ref, out_ref,
-            pv_ref, mv_ref, st_ref, *, W: int, top_bit: int, CL: int):
+TOPK = 8  # in-kernel valley slots per row (topk mode)
+
+
+def _kernel(patw_ref, k_ref, m_ref, klmul_ref, text_ref, lo_ref, hi_ref,
+            *rest, W: int, top_bit: int, CL: int, topk: bool):
+    """Myers scan; two output modes:
+
+    - map mode (``topk=False``): per-position valley-cost map (uint8).
+    - topk mode: the TOPK lowest (cost*klmul + j) valley keys per row,
+      sorted ascending, plus the exact valley count — the XLA-side
+      [R, L] key materialization + top_k pass this replaces costs more
+      than the whole scan.
+    """
+    if topk:
+        keys_ref, cnt_ref, pv_ref, mv_ref, st_ref, tk_ref = rest
+    else:
+        out_ref, pv_ref, mv_ref, st_ref = rest
     l_blk = pl.program_id(1)
+    n_lblk = pl.num_programs(1)
 
     @pl.when(l_blk == 0)
     def _init():
@@ -73,8 +89,12 @@ def _kernel(patw_ref, k_ref, m_ref, text_ref, lo_ref, hi_ref, out_ref,
         m = m_ref[0]
         st_ref[0] = jnp.full((SUBLANES, LANES), m, dtype=jnp.int32)  # ends[j]
         st_ref[1] = jnp.full((SUBLANES, LANES), 2**20, dtype=jnp.int32)  # ends[j-1]
+        if topk:
+            st_ref[2] = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)  # count
+            tk_ref[...] = jnp.full(tk_ref.shape, 2**30, dtype=jnp.int32)
 
     k = k_ref[0]
+    klmul = klmul_ref[0]
     emit_lo = lo_ref[...]
     emit_hi = hi_ref[...]
     j0 = l_blk * CL
@@ -139,54 +159,92 @@ def _kernel(patw_ref, k_ref, m_ref, text_ref, lo_ref, hi_ref, out_ref,
             & (j >= emit_lo)
             & (j <= emit_hi)
         )
-        out_ref[t] = jnp.where(valley, e_cur, 255).astype(jnp.uint8)
+        if topk:
+            # insertion chain: slots stay sorted ascending, spill the max
+            x = jnp.where(valley, e_cur * klmul + j, 2**30)
+            for s in range(TOPK):
+                cur = tk_ref[s]
+                tk_ref[s] = jnp.minimum(x, cur)
+                x = jnp.maximum(x, cur)
+            st_ref[2] = st_ref[2] + valley.astype(jnp.int32)
+        else:
+            out_ref[t] = jnp.where(valley, e_cur, 255).astype(jnp.uint8)
 
         st_ref[1] = e_cur
         st_ref[0] = e_next
       return 0
 
     jax.lax.fori_loop(0, CL // U, step, 0)
+    if topk:
+
+        @pl.when(l_blk == n_lblk - 1)
+        def _emit():
+            keys_ref[0] = tk_ref[...]
+            cnt_ref[0] = st_ref[2]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("W", "top_bit", "CL", "interpret")
+    jax.jit, static_argnames=("W", "top_bit", "CL", "interpret", "topk")
 )
-def _myers_call(patw, k_units, m, text_t, emit_lo, emit_hi, *, W, top_bit, CL,
-                interpret):
+def _myers_call(patw, k_units, m, klmul, text_t, emit_lo, emit_hi, *, W,
+                top_bit, CL, interpret, topk=False):
     L, G, _ = text_t.shape
     R = G * LANES
     grid = (R // TILE, L // CL)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, W=W, top_bit=top_bit, CL=CL),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # patw [4, W]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # k [1]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # m [1]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # patw [4, W]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # k [1]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # m [1]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # klmul [1]
+        pl.BlockSpec(
+            (CL, SUBLANES, LANES), lambda r, l: (l, r, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (SUBLANES, LANES), lambda r, l: (r, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (SUBLANES, LANES), lambda r, l: (r, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    scratch = [
+        pltpu.VMEM((W, SUBLANES, LANES), jnp.uint32),
+        pltpu.VMEM((W, SUBLANES, LANES), jnp.uint32),
+        pltpu.VMEM((3 if topk else 2, SUBLANES, LANES), jnp.int32),
+    ]
+    if topk:
+        scratch.append(pltpu.VMEM((TOPK, SUBLANES, LANES), jnp.int32))
+        out_specs = [
             pl.BlockSpec(
-                (CL, SUBLANES, LANES), lambda r, l: (l, r, 0),
+                (1, TOPK, SUBLANES, LANES), lambda r, l: (r, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (SUBLANES, LANES), lambda r, l: (r, 0), memory_space=pltpu.VMEM
+                (1, SUBLANES, LANES), lambda r, l: (r, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (SUBLANES, LANES), lambda r, l: (r, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (CL, SUBLANES, LANES), lambda r, l: (l, r, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((L, G, LANES), jnp.uint8),
-        scratch_shapes=[
-            pltpu.VMEM((W, SUBLANES, LANES), jnp.uint32),
-            pltpu.VMEM((W, SUBLANES, LANES), jnp.uint32),
-            pltpu.VMEM((2, SUBLANES, LANES), jnp.int32),
-        ],
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((R // TILE, TOPK, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R // TILE, SUBLANES, LANES), jnp.int32),
+        ]
+    else:
+        out_specs = pl.BlockSpec(
+            (CL, SUBLANES, LANES), lambda r, l: (l, r, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((L, G, LANES), jnp.uint8)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, W=W, top_bit=top_bit, CL=CL, topk=topk),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(patw, k_units, m, text_t, emit_lo, emit_hi)
-    return out
+    )(patw, k_units, m, klmul, text_t, emit_lo, emit_hi)
 
 
 def myers_valleys(
@@ -242,6 +300,7 @@ def myers_valleys_from_words(
         patw,
         jnp.asarray(k_units, dtype=jnp.int32).reshape(1),
         jnp.full((1,), m, dtype=jnp.int32),
+        jnp.zeros(1, dtype=jnp.int32),  # klmul unused in map mode
         text_t,
         lo2.astype(jnp.int32),
         hi2.astype(jnp.int32),
@@ -251,3 +310,58 @@ def myers_valleys_from_words(
         interpret=interpret,
     )
     return jnp.transpose(out.reshape(L, R), (1, 0))[:R0]
+
+
+def myers_topk_from_words(
+    patw,  # [4, W] uint32
+    W: int,
+    top_bit: int,
+    m: int,
+    rows,  # [R, L] uint8
+    emit_lo,
+    emit_hi,
+    k_units,
+    klmul: int,  # key multiplier: key = cost_units * klmul + position
+    CL: int = DEFAULT_CL,
+    interpret: bool = False,
+):
+    """In-kernel top-K: (keys [R, TOPK] int32 sorted ascending with
+    2**30 sentinels, count [R] int32 exact valley count).  Rows with
+    more than TOPK valleys keep only the best TOPK — callers must treat
+    ``count > TOPK`` as overflow."""
+    R0, L = rows.shape
+    R = ((R0 + TILE - 1) // TILE) * TILE
+    if R != R0:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((R - R0, L), dtype=rows.dtype)], axis=0
+        )
+        emit_lo = jnp.concatenate(
+            [emit_lo, jnp.ones(R - R0, dtype=emit_lo.dtype)], axis=0
+        )
+        emit_hi = jnp.concatenate(
+            [emit_hi, jnp.zeros(R - R0, dtype=emit_hi.dtype)], axis=0
+        )
+    CL = min(CL, L)
+    assert L % CL == 0, (L, CL)
+
+    text_t = jnp.transpose(rows, (1, 0)).reshape(L, R // LANES, LANES)
+    lo2 = emit_lo.reshape(R // LANES, LANES)
+    hi2 = emit_hi.reshape(R // LANES, LANES)
+    keys, cnt = _myers_call(
+        patw,
+        jnp.asarray(k_units, dtype=jnp.int32).reshape(1),
+        jnp.full((1,), m, dtype=jnp.int32),
+        jnp.full((1,), klmul, dtype=jnp.int32),
+        text_t,
+        lo2.astype(jnp.int32),
+        hi2.astype(jnp.int32),
+        W=W,
+        top_bit=top_bit,
+        CL=CL,
+        interpret=interpret,
+        topk=True,
+    )
+    # [R/TILE, TOPK, 8, 128] -> [R, TOPK]; lane r = blk*1024 + sub*128 + lane
+    keys = jnp.transpose(keys, (0, 2, 3, 1)).reshape(R, TOPK)[:R0]
+    cnt = cnt.reshape(R)[:R0]
+    return keys, cnt

@@ -103,3 +103,53 @@ def test_myers_emit_bounds():
         )
     )
     assert (got[0, :60] == 255).all()
+
+
+def test_myers_topk_matches_map():
+    """topk mode (in-kernel key selection) must equal the valley map +
+    explicit key construction, including counts."""
+    from barbell_tpu.ops.pallas_myers import (
+        TOPK,
+        myers_topk_from_words,
+        myers_valleys_from_words,
+    )
+
+    rng = np.random.default_rng(9)
+    R, L, m = 1024, 256, 17
+    pattern = BASES[rng.integers(0, 4, m)]
+    rows = np.zeros((R, L), dtype=np.uint8)
+    active = [0, 2, 300, 1023]
+    for r in active:
+        rows[r] = BASES[rng.integers(0, 4, L)]
+        for pos in (5, 60, 61 + m, 200):
+            seg = pattern[: min(m, L - pos)].copy()
+            if len(seg) > 3:
+                seg[rng.integers(0, len(seg))] = BASES[rng.integers(0, 4)]
+            rows[r, pos : pos + len(seg)] = seg
+    k_units = 6
+    emit_lo = np.full(R, 1, dtype=np.int32)
+    emit_hi = np.full(R, L - 2, dtype=np.int32)
+    patw, W, top_bit = pattern_words(pattern)
+    klmul = 1000
+
+    vmap = np.asarray(
+        myers_valleys_from_words(
+            jnp.asarray(patw), W, top_bit, m, jnp.asarray(rows),
+            jnp.asarray(emit_lo), jnp.asarray(emit_hi), jnp.int32(k_units),
+            CL=128, interpret=True,
+        )
+    )
+    keys, cnt = myers_topk_from_words(
+        jnp.asarray(patw), W, top_bit, m, jnp.asarray(rows),
+        jnp.asarray(emit_lo), jnp.asarray(emit_hi), jnp.int32(k_units),
+        klmul, CL=128, interpret=True,
+    )
+    keys, cnt = np.asarray(keys), np.asarray(cnt)
+
+    for r in active + [1]:  # 1 = empty lane
+        pos = np.nonzero(vmap[r] < 255)[0]
+        want_keys = np.sort(vmap[r][pos].astype(np.int64) * klmul + pos)
+        assert cnt[r] == len(pos), r
+        got = keys[r][keys[r] < 2**30]
+        assert np.array_equal(got, want_keys[: len(got)]), r
+        assert len(got) == min(len(want_keys), TOPK), r
