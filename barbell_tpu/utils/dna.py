@@ -94,8 +94,12 @@ def reverse_complement_str(seq: str) -> str:
 
 
 def reverse_complement_masks(masks: np.ndarray) -> np.ndarray:
-    """Reverse complement an encoded 4-bit mask array."""
-    return MASK_COMPLEMENT_LUT[masks[::-1]]
+    """Reverse complement an encoded 4-bit mask array.
+
+    Invalid bytes encode to 255; degrade them to N (mask 15, matches
+    everything — complement likewise) instead of indexing out of the
+    16-entry LUT.  The device path does the same via nibble packing."""
+    return MASK_COMPLEMENT_LUT[masks[::-1] & 0xF]
 
 
 def upper_bytes(seq) -> bytes:

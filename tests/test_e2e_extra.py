@@ -196,3 +196,83 @@ def test_cli_kits_listing_available():
     kits = supported_kits()
     assert "SQK-RBK114-96" in kits
     assert len(kits) >= 37
+
+
+def test_engine_matches_oracle_all_sim_classes(tmp_path):
+    """Batched engine vs scalar oracle on every simulator read class —
+    exercises no-construct reads, truncated constructs, mid-read
+    artefacts and double-ended reads through the fused device path
+    (multi-hit rows, flank-only rows, hit compaction)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("jax")
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.demux import Demuxer
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+    from barbell_tpu.sim.simulate import GROUPS, create_testdata
+    from barbell_tpu.utils.fastx import iter_fastq
+
+    create_testdata(3, str(tmp_path), rc_frac=0.5, seed=11)
+
+    groups = BarcodeGroup.from_kit("SQK-RBK114-96")
+    for g in groups:
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    engine = JaxDemuxEngine(groups)
+    d = Demuxer(alpha=0.4)
+    for g in groups:
+        d.add_query_group(g)
+
+    ids, seqs = [], []
+    for cls in GROUPS:
+        for rid, seq, _qual in iter_fastq([str(tmp_path / f"{cls}.fastq")]):
+            ids.append(f"{cls}:{rid}")
+            seqs.append(seq)
+    assert len(ids) == 3 * len(GROUPS)
+
+    got = engine.demux_batch(ids, seqs)
+    for rid, seq, rows in zip(ids, seqs, got):
+        want = d.demux(rid, seq)
+        assert rows == want, rid
+
+
+def test_engine_matches_oracle_with_n_and_invalid_bytes(tmp_path):
+    """Reads containing N / lowercase / non-IUPAC bytes must demux
+    identically on the device path (invalid bytes degrade to the
+    match-anything mask in both paths)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("jax")
+    import random
+
+    from barbell_tpu.kits.database import BC_SEQS, RBK4_KIT14_FRONT, RBK4_KIT14_REAR
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.demux import Demuxer
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+
+    rng = random.Random(3)
+    groups = BarcodeGroup.from_kit("SQK-RBK114-96")
+    for g in groups:
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    engine = JaxDemuxEngine(groups)
+    d = Demuxer(alpha=0.4)
+    for g in groups:
+        d.add_query_group(g)
+
+    ids, seqs = [], []
+    for i in range(6):
+        construct = (
+            RBK4_KIT14_FRONT + BC_SEQS[rng.randrange(96)] + RBK4_KIT14_REAR
+        ).encode()
+        body = bytes(rng.choice(b"ACGTacgtNn") for _ in range(rng.randrange(300, 900)))
+        seq = bytearray(construct + body)
+        # sprinkle N and junk bytes, including inside the construct
+        for _ in range(8):
+            seq[rng.randrange(len(seq))] = ord(rng.choice("NnXx?"))
+        ids.append(f"r{i}")
+        seqs.append(bytes(seq))
+
+    got = engine.demux_batch(ids, seqs)
+    for rid, seq, rows in zip(ids, seqs, got):
+        assert rows == d.demux(rid, seq), rid
