@@ -415,22 +415,33 @@ def window_dp_summary(
     win = windows.astype(jnp.int32)
 
     f32 = jnp.float32
-    carry = dict(C=jnp.zeros((H, P, W + 1), dtype=jnp.int32))
+    # Scan carries derive from `windows` so they inherit its varying-axes
+    # type under shard_map (plain zeros/full are "replicated" and the
+    # scan would reject the carry type mismatch — same trick as
+    # flank_ends).
+    vary_i = windows[:, :1, None].astype(jnp.int32) * 0  # [H, 1, 1]
+    vary_f = vary_i.astype(f32)
+    vary_b = vary_i != 0
+
+    def zi(fill):
+        return jnp.full((H, P, W + 1), fill, dtype=jnp.int32) + vary_i
+
+    carry = dict(C=zi(0))
     if with_lodhi:
         for name in ("T1", "T2", "S"):
-            carry[name] = jnp.zeros((H, P, W + 1), dtype=f32)
+            carry[name] = jnp.zeros((H, P, W + 1), dtype=f32) + vary_f
     if with_region:
-        carry["region_lo"] = jnp.full((H, P, W + 1), BIG, dtype=jnp.int32)
-        carry["region_hi"] = jnp.full((H, P, W + 1), -1, dtype=jnp.int32)
+        carry["region_lo"] = zi(BIG)
+        carry["region_hi"] = zi(-1)
     if with_interval:
-        carry["iv_pi"] = jnp.zeros((H, P, W + 1), dtype=jnp.int32)
-        carry["iv_pj"] = jnp.zeros((H, P, W + 1), dtype=jnp.int32)
-        carry["iv_ei"] = jnp.full((H, P, W + 1), -1, dtype=jnp.int32)
-        carry["iv_ej"] = jnp.full((H, P, W + 1), -1, dtype=jnp.int32)
-        carry["iv_cost"] = jnp.zeros((H, P, W + 1), dtype=jnp.int32)
-        carry["has_iv"] = jnp.zeros((H, P, W + 1), dtype=bool)
+        carry["iv_pi"] = zi(0)
+        carry["iv_pj"] = zi(0)
+        carry["iv_ei"] = zi(-1)
+        carry["iv_ej"] = zi(-1)
+        carry["iv_cost"] = zi(0)
+        carry["has_iv"] = jnp.zeros((H, P, W + 1), dtype=bool) | vary_b
     if with_start:
-        carry["ts"] = jnp.zeros((H, P, W + 1), dtype=jnp.int32)
+        carry["ts"] = zi(0)
 
     pat_cols = jnp.transpose(patterns_hp, (2, 0, 1)).astype(jnp.int32)  # [m, Hp, P]
     rows = (pat_cols, jnp.arange(1, m + 1, dtype=jnp.int32))

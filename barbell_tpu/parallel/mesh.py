@@ -79,3 +79,44 @@ def sharded_flank_step(mesh: Mesh, K: int = 16):
         ),
     )
     return jax.jit(mapped)
+
+
+def sharded_demux_step(mesh: Mesh, **statics):
+    """The FULL fused demux step sharded over the reads mesh.
+
+    Each chip runs :func:`barbell_tpu.ops.composite.demux_call` on its
+    local row block (row indices inside ``meta`` / ``simple_idx`` are
+    shard-local); query tensors and group scalars are replicated.  The
+    packed per-hit records stay sharded with their rows; the only
+    collective is a ``psum`` of the per-shard hit counters.  ``statics``
+    are demux_call's static kwargs (K, m, k_units, W_words, top_bit,
+    Wf, plen, Wb, P, H_cap, padding, use_pallas, interpret) — H_cap is
+    the per-shard lane capacity.
+    """
+    from ..ops import composite as comp
+
+    def local_step(flank, patw, patterns_all, host_packed, simple_idx, meta,
+                   gi, gf):
+        out = comp.demux_call(
+            flank, patw, patterns_all, host_packed, simple_idx, meta, gi, gf,
+            **statics,
+        )
+        global_hits = jax.lax.psum(out[-1], READS_AXIS)
+        return out, global_hits
+
+    mapped = _shard_map(
+        local_step,
+        mesh,
+        in_specs=(
+            P(None),
+            P(None, None),
+            P(None, None),
+            P(READS_AXIS, None),
+            P(READS_AXIS),
+            P(READS_AXIS, None),
+            P(None),
+            P(None),
+        ),
+        out_specs=(P(READS_AXIS), P()),
+    )
+    return jax.jit(mapped)

@@ -67,3 +67,90 @@ def test_sharded_step_matches_single_device():
     assert int(global_found) == int(
         np.asarray(want.valid).any(axis=1).sum()
     )
+
+
+def test_sharded_demux_step_matches_single_device():
+    """The fully fused demux step sharded over the mesh must produce,
+    per shard, exactly what a single-device demux_call produces on that
+    shard's rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from barbell_tpu import PADDING
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.pipeline import _GroupPlan
+    from barbell_tpu.ops import composite as comp
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+    from barbell_tpu.ops.oracle import scale_alpha
+    from barbell_tpu.parallel.mesh import (
+        make_mesh,
+        shard_rows,
+        sharded_demux_step,
+    )
+
+    group = BarcodeGroup.from_kit("SQK-RBK114-24")[0]
+    group.set_flank_threshold(get_edit_cut_off(group.get_effective_len()))
+    plan = _GroupPlan(group)
+
+    D, per, L = 8, 2, 256
+    B = D * per
+    rows, lens = _example_batch(B=B, L=L, seed=4)
+    R_pad = S_pad = 4
+    packs, metas, sidxs = [], [], []
+    for d in range(D):
+        sub_rows = rows[d * per : (d + 1) * per]
+        sub_lens = lens[d * per : (d + 1) * per]
+        padded = np.zeros((R_pad, L), dtype=np.uint8)
+        padded[:per] = sub_rows
+        packs.append(comp.pack_rows_np(padded))
+        meta = np.zeros((R_pad + S_pad, comp.META_COLS), dtype=np.int32)
+        meta[:, comp.M_HI] = -1
+        for i in range(per):
+            n = int(sub_lens[i])
+            meta[i] = (0, n, 1, 1, 0, n, 0, n, 0, i, 0, 1)
+            meta[R_pad + i] = (L - n, L, 1, 1, L - n, L, 0, n, 1, i, 0, 1)
+        metas.append(meta)
+        sidxs.append(np.arange(S_pad, dtype=np.int32))
+
+    gi = np.array(
+        [scale_alpha(0.4), plan.mask_start, plan.mask_end, plan.k1_scaled,
+         plan.rel_bar_start, plan.rel_bar_end, L], dtype=np.int32)
+    gf = np.array([plan.perfect, 0.2, 0.1], dtype=np.float32)
+    statics = dict(
+        K=8, m=plan.m, k_units=plan.k_units, W_words=plan.W_words,
+        top_bit=plan.top_bit, Wf=plan.span, plen=plan.plen,
+        Wb=plan.barcode_window, P=plan.n_patterns, H_cap=R_pad + S_pad,
+        padding=PADDING, use_pallas=False, interpret=False,
+    )
+
+    mesh = make_mesh()
+    packed_s, meta_s, sidx_s = shard_rows(
+        mesh,
+        np.concatenate(packs, axis=0),
+        np.concatenate(metas, axis=0),
+        np.concatenate(sidxs, axis=0),
+    )
+    step = sharded_demux_step(mesh, **statics)
+    out, global_hits = step(
+        jnp.asarray(plan.flank), jnp.asarray(plan.patw),
+        jnp.asarray(plan.patterns_all), packed_s, sidx_s, meta_s,
+        jnp.asarray(gi), jnp.asarray(gf),
+    )
+    out = np.asarray(out)
+    per_shard = (R_pad + S_pad) * comp.REC_COLS + (R_pad + S_pad) + 1
+
+    total = 0
+    for d in range(D):
+        want = np.asarray(
+            comp.demux_call(
+                jnp.asarray(plan.flank), jnp.asarray(plan.patw),
+                jnp.asarray(plan.patterns_all), jnp.asarray(packs[d]),
+                jnp.asarray(sidxs[d]), jnp.asarray(metas[d]),
+                jnp.asarray(gi), jnp.asarray(gf), **statics,
+            )
+        )
+        got = out[d * per_shard : (d + 1) * per_shard]
+        assert np.array_equal(got, want), d
+        total += int(want[-1])
+    assert int(global_hits) == total == B
