@@ -50,7 +50,7 @@ from .pallas_myers import (
     myers_valleys_from_words,
     pattern_words,
 )
-from .pallas_rank import rank_pass1
+from .pallas_rank import rank_pass1, rank_pass1_split
 
 
 def _complement_masks(m):
@@ -331,12 +331,35 @@ def demux_call(
     )
 
     # ---- compact valid hits into H_cap lanes ---------------------------
+    # Strand-split layout (pallas rank): fwd hits in lanes [0, H_cap/2),
+    # rc hits in [H_cap/2, H_cap) — the rank kernel then evaluates only
+    # the lane's own strand's P patterns instead of all 2P.
+    split = use_pallas and Wb <= 255 and H_cap % 256 == 0
     flat_valid = (key_top < BIG).reshape(-1)
     total = flat_valid.sum(dtype=jnp.int32)
     flat_idx = jnp.arange(R * K, dtype=jnp.int32)
-    order = jnp.argsort(jnp.where(flat_valid, flat_idx, jnp.int32(BIG)))
-    take = order[:H_cap]
-    hvalid = flat_valid[take]
+    if split:
+        rc_row = meta[:, M_ISRC] != 0
+        rc_flat = jnp.repeat(rc_row, K)
+        half = H_cap // 2
+        fwd_order = jnp.argsort(
+            jnp.where(flat_valid & ~rc_flat, flat_idx, jnp.int32(BIG))
+        )
+        rc_order = jnp.argsort(
+            jnp.where(flat_valid & rc_flat, flat_idx, jnp.int32(BIG))
+        )
+        take = jnp.concatenate([fwd_order[:half], rc_order[:half]])
+        n_fwd = (flat_valid & ~rc_flat).sum(dtype=jnp.int32)
+        n_rc = total - n_fwd
+        # either half overflowing must trigger the caller's retry
+        total_out = jnp.maximum(total, 2 * jnp.maximum(n_fwd, n_rc))
+        lane_rc = rc_flat[take]
+        hvalid = flat_valid[take] & (lane_rc == (jnp.arange(H_cap) >= half))
+    else:
+        order = jnp.argsort(jnp.where(flat_valid, flat_idx, jnp.int32(BIG)))
+        take = order[:H_cap]
+        hvalid = flat_valid[take]
+        total_out = total
     hrow = take // K
     hkey = key_top.reshape(-1)[take]
     hcol = jnp.where(hvalid, hkey % L_key, 0)
@@ -398,12 +421,26 @@ def demux_call(
     windows = jnp.where(jposb[None, :] < b_len[:, None], windows, 0)
 
     Pa = patterns_all.shape[0]  # 2P
-    if use_pallas and Wb <= 255:
+    if split:
+        # [H, P] strand-local: each lane ranked against its own strand's
+        # pattern stack only.
+        key2, lodhi_best = rank_pass1_split(
+            patterns_all, P, windows, b_len, interpret=interpret
+        )
+        best_cost = key2 // 256
+        best_pos = key2 % 256
+        lane_mask = jnp.ones((H_cap, P), dtype=bool)
+        strand_off = jnp.where(h_isrc != 0, P, 0).astype(jnp.int32)
+    elif use_pallas and Wb <= 255:
         key2, lodhi_best = rank_pass1(
             patterns_all, windows, b_len, interpret=interpret
         )
         best_cost = key2 // 256
         best_pos = key2 % 256
+        lane_mask = (
+            jnp.arange(Pa, dtype=jnp.int32)[None, :] // P
+        ) == h_isrc[:, None]
+        strand_off = jnp.zeros(H_cap, dtype=jnp.int32)
     else:
         no_edge = jnp.zeros(H_cap, dtype=bool)
         no_right = jnp.full(H_cap, -1, dtype=jnp.int32)
@@ -417,17 +454,25 @@ def demux_call(
         lodhi_best = jnp.take_along_axis(
             summ1.lodhi, best_pos[:, :, None], axis=2
         )[:, :, 0]
+        lane_mask = (
+            jnp.arange(Pa, dtype=jnp.int32)[None, :] // P
+        ) == h_isrc[:, None]
+        strand_off = jnp.zeros(H_cap, dtype=jnp.int32)
 
-    smask = (jnp.arange(Pa, dtype=jnp.int32)[None, :] // P) == h_isrc[:, None]
-    in_k1 = (best_cost <= k1_scaled) & smask
+    in_k1 = (best_cost <= k1_scaled) & lane_mask
     matched = in_k1.sum(axis=1)
     use_all = matched <= 1
-    cand = (use_all[:, None] | in_k1) & has2[:, None] & smask
+    cand = (use_all[:, None] | in_k1) & has2[:, None] & lane_mask
 
     scores = jnp.where(cand, lodhi_best / perfect, -jnp.inf)
-    top = jnp.argmax(scores, axis=1).astype(jnp.int32)
-    top_norm = jnp.take_along_axis(scores, top[:, None], axis=1)[:, 0]
-    rest = jnp.where(jnp.arange(Pa)[None, :] == top[:, None], -jnp.inf, scores)
+    top_local = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    top = top_local + strand_off  # index into patterns_all
+    top_norm = jnp.take_along_axis(scores, top_local[:, None], axis=1)[:, 0]
+    rest = jnp.where(
+        jnp.arange(scores.shape[1])[None, :] == top_local[:, None],
+        -jnp.inf,
+        scores,
+    )
     second_norm = jnp.max(rest, axis=1)
     n_cand = cand.sum(axis=1)
     accepted = (top_norm >= min_score) & (
@@ -443,7 +488,7 @@ def demux_call(
         jnp.int32(UNIT), jnp.int32(0), jnp.int32(-1), iv_a, iv_b,
         with_interval=True,
     )
-    end_top = jnp.take_along_axis(best_pos, top[:, None], axis=1)
+    end_top = jnp.take_along_axis(best_pos, top_local[:, None], axis=1)
 
     def pick(arr):
         return jnp.take_along_axis(arr[:, 0, :], end_top, axis=1)[:, 0]
@@ -471,7 +516,7 @@ def demux_call(
         axis=1,
     ).astype(jnp.int32)
     return jnp.concatenate(
-        [rec.reshape(-1), count.astype(jnp.int32), total[None]]
+        [rec.reshape(-1), count.astype(jnp.int32), total_out[None]]
     )
 
 

@@ -145,18 +145,30 @@ def _kernel(pat_ref, win_ref, wlen_ref, key_ref, s_ref,
     s_ref[0, 0] = jnp.where(better, s_c, best_s)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "W", "interpret"))
-def _rank_call(pat_bcast, win_t, wlen_t, *, m, W, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("m", "W", "interpret", "split_hc")
+)
+def _rank_call(pat_bcast, win_t, wlen_t, *, m, W, interpret, split_hc=0):
+    """split_hc > 0: lanes in h-tiles [0, split_hc) use the first half
+    of the pattern chunks, tiles >= split_hc the second half — one
+    kernel ranks fwd hits against fwd patterns and rc hits against rc
+    patterns without doubling the grid."""
     PC = pat_bcast.shape[1]
     HC = win_t.shape[1]
-    grid = (HC, PC)
+    if split_hc:
+        PCH = PC // 2
+        grid = (HC, PCH)
+        pat_index = lambda h, p: (0, p + (h >= split_hc) * PCH, 0, 0)
+    else:
+        PCH = PC
+        grid = (HC, PC)
+        pat_index = lambda h, p: (0, p, 0, 0)
     key, s = pl.pallas_call(
         functools.partial(_kernel, m=m, W=W),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (m, 1, SUBS, LANES), lambda h, p: (0, p, 0, 0),
-                memory_space=pltpu.VMEM,
+                (m, 1, SUBS, LANES), pat_index, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (W, 1, 1, LANES), lambda h, p: (0, h, 0, 0),
@@ -177,8 +189,8 @@ def _rank_call(pat_bcast, win_t, wlen_t, *, m, W, interpret):
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((PC, HC, SUBS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((PC, HC, SUBS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((PCH, HC, SUBS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((PCH, HC, SUBS, LANES), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((m + 1, SUBS, LANES), jnp.int32),
@@ -190,6 +202,46 @@ def _rank_call(pat_bcast, win_t, wlen_t, *, m, W, interpret):
         ],
         interpret=interpret,
     )(pat_bcast, win_t, wlen_t)
+    return key, s
+
+
+def rank_pass1_split(patterns_all, P: int, windows, w_len,
+                     interpret: bool = False):
+    """Strand-split rank: lanes [0, H/2) are fwd hits ranked against
+    patterns_all[:P], lanes [H/2, H) rc hits against patterns_all[P:].
+    Halves the kernel grid versus ranking every lane against both
+    stacks.  Requires H % 256 == 0 (the strand boundary must fall on a
+    lane-tile boundary).  Returns key/lodhi [H, P] in strand-local
+    pattern indices."""
+    Pa, m = patterns_all.shape
+    H, W = windows.shape
+    assert Pa == 2 * P
+    assert H % (2 * LANES) == 0, H
+    assert W <= 255
+
+    Pp = ((P + SUBS - 1) // SUBS) * SUBS
+    if Pp != P:
+        pad = jnp.zeros((Pp - P, m), dtype=patterns_all.dtype)
+        pats = jnp.concatenate(
+            [patterns_all[:P], pad, patterns_all[P:], pad], axis=0
+        )
+    else:
+        pats = patterns_all
+    PCH = Pp // SUBS
+
+    pat_bcast = jnp.broadcast_to(
+        jnp.transpose(pats.reshape(2 * PCH, SUBS, m), (2, 0, 1))[:, :, :, None],
+        (m, 2 * PCH, SUBS, LANES),
+    )
+    win_t = jnp.transpose(windows, (1, 0)).reshape(W, H // LANES, 1, LANES)
+    wlen_t = w_len.astype(jnp.int32).reshape(H // LANES, 1, LANES)
+
+    key, s = _rank_call(
+        pat_bcast, win_t, wlen_t, m=m, W=W, interpret=interpret,
+        split_hc=(H // 2) // LANES,
+    )
+    key = jnp.transpose(key, (1, 3, 0, 2)).reshape(H, Pp)[:, :P]
+    s = jnp.transpose(s, (1, 3, 0, 2)).reshape(H, Pp)[:, :P]
     return key, s
 
 

@@ -538,3 +538,39 @@ def test_composites_match_reference_impls():
     gt = np.asarray(comp.flank_trace(*fargs, m=fm, W=Wf))
     wt = np.asarray(comp.flank_trace_reference(*fargs, m=fm, W=Wf))
     assert np.array_equal(gt[hvalid], wt[hvalid])
+
+
+def test_engine_pallas_split_rank_matches_oracle():
+    """A batch big enough that H_cap hits the strand-split rank layout
+    (H_cap % 256 == 0) must still be row-identical to the scalar
+    engine (pallas interpret mode on CPU)."""
+    rng = random.Random(13)
+    groups = BarcodeGroup.from_kit("SQK-RBK110-96")
+    for g in groups:
+        g.barcodes = g.barcodes[:6]
+        g.patterns_fwd = g.patterns_fwd[:6]
+        g.patterns_rc = g.patterns_rc[:6]
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    scalar = Demuxer(alpha=0.4)
+    for g in groups:
+        scalar.add_query_group(g)
+    engine = JaxDemuxEngine(groups, alpha=0.4, use_pallas=True)
+
+    reads = []
+    for i in range(80):  # R_total_pad = 128 + 128 -> split-eligible
+        body = _random_read(rng, 80)
+        bc = i % 6
+        if i % 3 == 0:
+            seq = _construct(bc) + body
+        elif i % 3 == 1:
+            seq = dna.reverse_complement_bytes(_construct(bc) + body)
+        else:
+            seq = body  # no construct
+        reads.append((f"s{i}", seq))
+
+    ids = [r[0] for r in reads]
+    seqs = [r[1] for r in reads]
+    got = engine.demux_batch(ids, seqs)
+    for rid, seq, rows in zip(ids, seqs, got):
+        want = scalar.demux(rid, seq)
+        assert rows == want, f"{rid}: {rows} != {want}"

@@ -60,3 +60,37 @@ def test_rank_pass1_matches_jnp(H, P, m, W):
     assert np.array_equal(key // 256, np.asarray(best.cost))
     assert np.array_equal(key % 256, np.asarray(best.pos))
     np.testing.assert_allclose(lod, want_lod, rtol=1e-6, atol=1e-8)
+
+
+def test_rank_pass1_split_matches_full():
+    """Strand-split rank == full 2P rank restricted to each lane's own
+    strand half (fwd lanes in the first H/2, rc lanes after)."""
+    rng = np.random.default_rng(7)
+    P, m, W = 12, 10, 24
+    H = 512  # multiple of 256
+    pats = BASES[rng.integers(0, 4, size=(2 * P, m))]
+    wins = np.zeros((H, W), dtype=np.uint8)
+    wlen = rng.integers(m, W + 1, H).astype(np.int32)
+    for h in range(H):
+        c = BASES[rng.integers(0, 4, size=int(wlen[h]))]
+        src = pats[rng.integers(0, P) + (P if h >= H // 2 else 0)]
+        pos = int(rng.integers(0, max(1, int(wlen[h]) - m)))
+        c[pos : pos + m] = src[: min(m, int(wlen[h]) - pos)]
+        wins[h, : wlen[h]] = c
+
+    from barbell_tpu.ops.pallas_rank import rank_pass1, rank_pass1_split
+
+    ks, ls = rank_pass1_split(
+        jnp.asarray(pats), P, jnp.asarray(wins), jnp.asarray(wlen),
+        interpret=True,
+    )
+    kf, lf = rank_pass1(
+        jnp.asarray(pats), jnp.asarray(wins), jnp.asarray(wlen),
+        interpret=True,
+    )
+    ks, ls, kf, lf = map(np.asarray, (ks, ls, kf, lf))
+    half = H // 2
+    assert np.array_equal(ks[:half], kf[:half, :P])
+    assert np.array_equal(ks[half:], kf[half:, P:])
+    assert np.array_equal(ls[:half], lf[:half, :P])
+    assert np.array_equal(ls[half:], lf[half:, P:])
