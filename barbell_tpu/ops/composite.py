@@ -51,6 +51,8 @@ from .pallas_myers import (
     pattern_words,
 )
 from .pallas_rank import rank_pass1, rank_pass1_split
+from .pallas_window import VTOPK as WIN_VTOPK
+from .pallas_window import window_interval, window_trace, window_valleys
 
 
 def _complement_masks(m):
@@ -156,49 +158,54 @@ def _scan_keys(
         kn = -keys8
         kernel_count = jnp.where(kcnt > MYERS_TOPK, kcnt + K + 1, kcnt)
 
-        # Left boundary window: exact alpha semantics near the read start.
-        Wl = m + k_units + 3
-        lw = _window_cols(rows, jnp.maximum(start_col, 0), Wl)
-        text_len = end_col - jnp.maximum(start_col, 0)
-        lw_start = jnp.where(start_col >= 0, 0, -1)
-        lw_end = jnp.where(text_len <= Wl, text_len, Wl + 2)
-        ends_l = flank_ends(pattern, lw, lw_start, lw_end, alpha_scaled)
-        # decide local j <= min(m+k+1, hi - tsc, text_len); only rows
-        # whose true start is in this row participate.
+        # Boundary windows: exact alpha semantics near each read's true
+        # start/end, both evaluated in ONE per-lane pallas valley call
+        # (2R lanes; the jnp row-scan + key-map + top_k equivalents cost
+        # more than the Myers interior).
+        Wb_ = m + k_units + 3
         tsc = jnp.maximum(start_col, 0)
+        text_len = end_col - tsc
+        lw = _window_cols(rows, tsc, Wb_)
         l_hi = jnp.minimum(jnp.minimum(m + k_units + 1, hi - tsc), text_len)
         l_hi = jnp.where(start_col >= 0, l_hi, -1)
         l_lo = jnp.maximum(lo - tsc, 0)
-        lkey, lcount = _valley_keys(ends_l, l_lo, l_hi, k_scaled, L_key)
-        # shift local cols to row cols
-        lkey = jnp.where(lkey < BIG, lkey + tsc[:, None], BIG)
-        ln, _ = jax.lax.top_k(-lkey, K)
+        l_ledge = start_col >= 0
+        l_rpos = jnp.where(text_len <= Wb_, text_len, -1)
 
-        # Right boundary window: alpha verticals at the read-end column
-        # decide positions {end-1, end}.
-        Wr = m + k_units + 3
         has_end = end_col <= L
-        not_short = text_len > m + k_units + 1
-        r_active = has_end & not_short
-        r_start = jnp.where(r_active, end_col - Wr, 0)
-        rw = _window_cols(rows, r_start, Wr)
-        ends_r = flank_ends(
-            pattern,
-            rw,
-            jnp.full((R,), -1, dtype=jnp.int32),
-            jnp.where(r_active, Wr, Wr + 2),
-            alpha_scaled,
-        )
-        r_lo_local = jnp.where(r_active, Wr - 1, 1)
+        r_active = has_end & (text_len > m + k_units + 1)
+        r_start = jnp.where(r_active, end_col - Wb_, 0)
+        rw = _window_cols(rows, r_start, Wb_)
+        r_lo = jnp.where(r_active, Wb_ - 1, 1)
         # guard against overlap with the left window's zone
-        r_lo_local = jnp.maximum(
-            r_lo_local,
+        r_lo = jnp.maximum(
+            r_lo,
             jnp.where(start_col >= 0, (tsc + m + k_units + 2) - r_start, 0),
         )
-        r_hi_local = jnp.where(r_active, Wr, -1)
-        rkey, rcount = _valley_keys(ends_r, r_lo_local, r_hi_local, k_scaled, L_key)
-        rkey = jnp.where(rkey < BIG, rkey + r_start[:, None], BIG)
-        rn, _ = jax.lax.top_k(-rkey, 4)
+        r_hi = jnp.where(r_active, Wb_, -1)
+        r_ledge = jnp.zeros((R,), dtype=bool)
+        r_rpos = jnp.where(r_active, Wb_, -1)
+
+        flank_h = jnp.broadcast_to(pattern[None, :], (2 * R, m))
+        bkeys, bcnt = window_valleys(
+            flank_h,
+            jnp.concatenate([lw, rw], axis=0),
+            jnp.full((2 * R,), Wb_, dtype=jnp.int32),
+            jnp.concatenate([l_ledge, r_ledge]),
+            jnp.concatenate([l_rpos, r_rpos]),
+            jnp.concatenate([l_lo, r_lo]),
+            jnp.concatenate([l_hi, r_hi]),
+            alpha_scaled,
+            jnp.int32(k_scaled),
+            L_key,
+            interpret=interpret,
+        )
+        shift = jnp.concatenate([tsc, r_start])[:, None]
+        bkeys = jnp.where(bkeys < BIG, bkeys + shift, BIG)
+        ln = -bkeys[:R]
+        rn = -bkeys[R:]
+        lcount = jnp.where(bcnt[:R] > WIN_VTOPK, bcnt[:R] + K + 1, bcnt[:R])
+        rcount = jnp.where(bcnt[R:] > WIN_VTOPK, bcnt[R:] + K + 1, bcnt[R:])
 
         merged = jnp.concatenate([kn, ln, rn], axis=1)
         neg, _ = jax.lax.top_k(merged, K)
@@ -379,18 +386,27 @@ def demux_call(
     tw = _gather_windows(rows, hrow, s_col, Wf)
     jposf = jnp.arange(Wf, dtype=jnp.int32)
     tw = jnp.where(jposf[None, :] < w_len_tr[:, None], tw, 0)
-    summ = window_dp_summary(
-        flank[None, None, :], tw, left_edge, right_pos, alpha_scaled,
-        mask_a, mask_b, jnp.int32(0), jnp.int32(0),
-        with_region=True, with_start=True,
-    )
+    if use_pallas:
+        f_ts, rlo, rhi = window_trace(
+            jnp.broadcast_to(flank[None, :], (H_cap, m)), tw, w_len_tr,
+            left_edge, right_pos, alpha_scaled, mask_a, mask_b,
+            interpret=interpret,
+        )
+    else:
+        summ = window_dp_summary(
+            flank[None, None, :], tw, left_edge, right_pos, alpha_scaled,
+            mask_a, mask_b, jnp.int32(0), jnp.int32(0),
+            with_region=True, with_start=True,
+        )
 
-    def at_end(arr):
-        return jnp.take_along_axis(arr[:, 0, :], w_len_tr[:, None], axis=1)[:, 0]
+        def at_end(arr):
+            return jnp.take_along_axis(
+                arr[:, 0, :], w_len_tr[:, None], axis=1
+            )[:, 0]
 
-    f_ts = at_end(summ.text_start)
-    rlo = at_end(summ.region_lo)
-    rhi = at_end(summ.region_hi)
+        f_ts = at_end(summ.text_start)
+        rlo = at_end(summ.region_lo)
+        rhi = at_end(summ.region_hi)
 
     # ---- map mask region to a padded fwd barcode window ----------------
     s_text = h_off + (s_col - h_tsc)
@@ -482,16 +498,36 @@ def demux_call(
 
     # interval mapping for the winner only
     pat_top = jnp.take(patterns_all, top, axis=0)
-    summ2 = window_dp_summary(
-        pat_top[:, None, :], windows,
-        jnp.zeros(H_cap, dtype=bool), jnp.full(H_cap, -1, dtype=jnp.int32),
-        jnp.int32(UNIT), jnp.int32(0), jnp.int32(-1), iv_a, iv_b,
-        with_interval=True,
-    )
     end_top = jnp.take_along_axis(best_pos, top_local[:, None], axis=1)
+    if use_pallas:
+        iv_out = window_interval(
+            pat_top, windows, end_top[:, 0], iv_a, iv_b, interpret=interpret
+        )  # [H, 6]: iv_pj, iv_ej, iv_pi, iv_ei, iv_cost, has_iv
 
-    def pick(arr):
-        return jnp.take_along_axis(arr[:, 0, :], end_top, axis=1)[:, 0]
+        def pick_iv(col):
+            return iv_out[:, col]
+
+        iv_vals = [pick_iv(0), pick_iv(1) + 1, pick_iv(2), pick_iv(3) + 1,
+                   pick_iv(4), pick_iv(5)]
+    else:
+        summ2 = window_dp_summary(
+            pat_top[:, None, :], windows,
+            jnp.zeros(H_cap, dtype=bool), jnp.full(H_cap, -1, dtype=jnp.int32),
+            jnp.int32(UNIT), jnp.int32(0), jnp.int32(-1), iv_a, iv_b,
+            with_interval=True,
+        )
+
+        def pick(arr):
+            return jnp.take_along_axis(arr[:, 0, :], end_top, axis=1)[:, 0]
+
+        iv_vals = [
+            pick(summ2.iv_pj),
+            pick(summ2.iv_ej) + 1,
+            pick(summ2.iv_pi),
+            pick(summ2.iv_ei) + 1,
+            pick(summ2.iv_cost),
+            pick(summ2.has_interval.astype(jnp.int32)),
+        ]
 
     def gate(x, lvl):  # debug stage gating; zeros_like lets XLA DCE the stage
         return x if _stages >= lvl else jnp.zeros_like(x)
@@ -506,12 +542,12 @@ def demux_call(
             gate(fs_text, 2),
             gate(top, 3),
             gate(accepted.astype(jnp.int32), 3),
-            gate(pick(summ2.iv_pj), 4),
-            gate(pick(summ2.iv_ej) + 1, 4),
-            gate(pick(summ2.iv_pi), 4),
-            gate(pick(summ2.iv_ei) + 1, 4),
-            gate(pick(summ2.iv_cost), 4),
-            gate(pick(summ2.has_interval.astype(jnp.int32)), 4),
+            gate(iv_vals[0], 4),
+            gate(iv_vals[1], 4),
+            gate(iv_vals[2], 4),
+            gate(iv_vals[3], 4),
+            gate(iv_vals[4], 4),
+            gate(iv_vals[5], 4),
         ],
         axis=1,
     ).astype(jnp.int32)
