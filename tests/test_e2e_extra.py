@@ -276,3 +276,47 @@ def test_engine_matches_oracle_with_n_and_invalid_bytes(tmp_path):
     got = engine.demux_batch(ids, seqs)
     for rid, seq, rows in zip(ids, seqs, got):
         assert rows == d.demux(rid, seq), rid
+
+
+def test_engine_matches_oracle_nbd_kit(tmp_path):
+    """SQK-NBD114-96 (native-barcode, double-ended) through the batched
+    engine vs the scalar oracle — BASELINE.md names this kit as a
+    bit-identical-output target alongside RBK114-96."""
+    import pytest as _pytest
+
+    _pytest.importorskip("jax")
+    import random
+
+    from barbell_tpu.kits.database import NB_1ST_FRONT, NB_1ST_REAR, NB_SEQS
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.demux import Demuxer
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+    from barbell_tpu.sim.simulate import mutate_sequence
+
+    rng = random.Random(5)
+    groups = BarcodeGroup.from_kit("SQK-NBD114-96")
+    for g in groups:
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    engine = JaxDemuxEngine(groups)
+    d = Demuxer(alpha=0.4)
+    for g in groups:
+        d.add_query_group(g)
+
+    ids, seqs = [], []
+    for i in range(8):
+        bc = rng.randrange(96)
+        construct = (NB_1ST_FRONT + NB_SEQS[bc] + NB_1ST_REAR).encode()
+        body = bytes(rng.choice(b"ACGT") for _ in range(rng.randrange(250, 700)))
+        seq = construct + body + dna.reverse_complement_bytes(construct)
+        seq = mutate_sequence(rng, seq, 0, 4)
+        ids.append(f"nb{i}")
+        seqs.append(seq)
+
+    got = engine.demux_batch(ids, seqs)
+    n_tags = 0
+    for rid, seq, rows in zip(ids, seqs, got):
+        want = d.demux(rid, seq)
+        assert rows == want, rid
+        n_tags += sum(1 for r in rows if r.match_type == BarcodeType.Ftag)
+    assert n_tags >= 8  # constructs at both ends should be found
