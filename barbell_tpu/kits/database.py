@@ -9,7 +9,7 @@ group of ``front + {BAR} + rear`` constructs.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 # ---------------------------------------------------------------------------

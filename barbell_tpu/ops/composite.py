@@ -1,24 +1,22 @@
 """Fused jitted composites for the demux pipeline.
 
 Under a tunneled/remote TPU every device call AND every fetched output
-array costs a ~30-50ms round trip, and HBM uploads run ~30MB/s, so the
-pipeline is organized as three fused calls per group and batch, each
-returning ONE packed int32 array, with the padded read-row buffer
-staying device-resident between them:
+array costs a ~30-50ms round trip, so the production path is ONE fused
+call per (group, batch): :func:`demux_call` runs flank scan -> top-K
+valley compaction into fixed hit lanes -> flank traceback ->
+strand-aware barcode-window mapping -> barcode rank, and returns a
+single packed int32 buffer.  On TPU every DP stage is a Pallas kernel
+(:mod:`barbell_tpu.ops.pallas_myers` for the bit-parallel interior
+scan, :mod:`barbell_tpu.ops.pallas_window` for the alpha boundary
+windows / flank trace / winner interval mapping,
+:mod:`barbell_tpu.ops.pallas_rank` for the all-patterns Lodhi ranking);
+on CPU the jnp formulations in :mod:`barbell_tpu.ops.device` run the
+identical semantics (tested).
 
-1. :func:`flank_scan` — unpack nibble-packed host rows, synthesize rc
-   rows by pure flip+bit-complement (rc content lands right-aligned; no
-   gathers), run the flank scan, extract top-K valleys.  On TPU the
-   scan body is the Pallas bit-parallel Myers kernel
-   (:mod:`barbell_tpu.ops.pallas_myers`) for the unit-cost interior,
-   merged with exact alpha-overhang boundary windows recomputed by the
-   jnp row-scan at each read's start/end; on CPU it is the jnp row-scan
-   over full rows.  Both produce identical valleys (tested).
-2. :func:`flank_trace` — gather per-hit windows from the row buffer,
-   window DP + traceback; packed flank start / mask-region spans.
-3. :func:`barcode_rank` — gather barcode windows, run the fwd+rc
-   pattern stacks, per-pattern best valley, candidate fallback,
-   traceback + Lodhi, min-score selection; packed per-hit records.
+The staged composites :func:`flank_scan`, :func:`flank_trace` and
+:func:`barcode_rank` remain as independently testable pieces and
+conformance anchors (with ``*_reference`` variants of the original
+move-table + traceback implementations).
 
 Row coordinate model: every row holds its text in columns
 ``[start_col, end_col]`` (forward rows left-aligned at 0; synthesized
@@ -38,18 +36,13 @@ from .device import (
     BIG,
     UNIT,
     best_valley_per_pattern,
-    find_hits,
     flank_ends,
     traceback_reduce,
     window_dp,
     window_dp_summary,
 )
 from .pallas_myers import TOPK as MYERS_TOPK
-from .pallas_myers import (
-    myers_topk_from_words,
-    myers_valleys_from_words,
-    pattern_words,
-)
+from .pallas_myers import myers_topk_from_words, myers_valleys_from_words
 from .pallas_rank import rank_pass1, rank_pass1_split
 from .pallas_window import VTOPK as WIN_VTOPK
 from .pallas_window import window_interval, window_trace, window_valleys

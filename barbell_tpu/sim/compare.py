@@ -14,7 +14,7 @@ GroupII fully recovered; GroupI/IV/V/VI rejected; GroupIII best-effort.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -8,7 +8,7 @@ the native path when the extension is available.
 from __future__ import annotations
 
 import ctypes
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 from ..native import get_lib
 from .fastx import iter_fastq_batches, validate_fastq_paths
