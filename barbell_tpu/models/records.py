@@ -119,7 +119,7 @@ TSV_COLUMNS = [
 TSV_HEADER = "\t".join(TSV_COLUMNS)
 
 
-@dataclass
+@dataclass(slots=True)
 class BarbellMatch:
     """One annotation row; see module docstring for wire format."""
 
