@@ -320,3 +320,44 @@ def test_engine_matches_oracle_nbd_kit(tmp_path):
         assert rows == want, rid
         n_tags += sum(1 for r in rows if r.match_type == BarcodeType.Ftag)
     assert n_tags >= 8  # constructs at both ends should be found
+
+
+def test_engine_matches_oracle_use_extended(tmp_path):
+    """--use-extended adds the fusion/artefact template as a second
+    group; the fused device path must stay row-identical to the oracle
+    with multiple groups per batch (mid-read fusion constructs)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("jax")
+    import random
+
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.demux import Demuxer
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+    from barbell_tpu.sim.simulate import mutate_sequence
+
+    rng = random.Random(8)
+    groups = BarcodeGroup.from_kit("SQK-RBK114-96", use_extended=True)
+    assert len(groups) >= 2  # default + fusion template
+    for g in groups:
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    engine = JaxDemuxEngine(groups)
+    d = Demuxer(alpha=0.4)
+    for g in groups:
+        d.add_query_group(g)
+
+    ids, seqs = [], []
+    for i in range(6):
+        bc = rng.randrange(96)
+        front = (db.RBK4_KIT14_FRONT + db.BC_SEQS[bc] + db.RBK4_KIT14_REAR).encode()
+        fusion = (db.RBK4_FRONT_FUSION + db.BC_SEQS[(bc + 7) % 96] + db.RBK4_REAR).encode()
+        body1 = bytes(rng.choice(b"ACGT") for _ in range(rng.randrange(200, 500)))
+        body2 = bytes(rng.choice(b"ACGT") for _ in range(rng.randrange(200, 500)))
+        seq = mutate_sequence(rng, front + body1 + fusion + body2, 0, 4)
+        ids.append(f"x{i}")
+        seqs.append(seq)
+
+    got = engine.demux_batch(ids, seqs)
+    for rid, seq, rows in zip(ids, seqs, got):
+        assert rows == d.demux(rid, seq), rid
