@@ -11,9 +11,11 @@ Per batch the engine issues ONE fused device call per group
 Myers interior + exact alpha boundary windows), top-K valley compaction
 into fixed hit lanes, flank traceback, barcode-window mapping and
 barcode rank all run on device and return a single packed int32 buffer.
-Input rows ship nibble-packed (2 bases per byte), encoded+packed by the
-native C++ extension in one GIL-free pass; batches pipeline 4-deep via
-:func:`engine_map_batches`.
+Input rows ship as 2-bit base codes (4 bases per byte — the remote
+tunnel runs ~30MB/s, so wire bytes matter) with N/IUPAC/junk bytes on a
+device-applied exception list, encoded+packed by the native C++
+extension in one GIL-free pass; nibble packing remains the fallback.
+Batches pipeline 4-deep via :func:`engine_map_batches`.
 
 Row coordinate model: a device row holds text in columns
 ``[tsc, tec]``.  Forward rows are left-aligned (tsc=0); rc rows are
@@ -46,6 +48,7 @@ from .records import BarbellMatch, Strand, rel_dist_to_end
 
 MAX_ROW_LEN = 8192  # chunk width for long reads
 MAX_HITS_PER_ROW = 16  # K for valley compaction
+_EXC_CAP = 4096  # non-ACGT bytes per batch before nibble fallback
 
 # Env-gated phase timing (BARBELL_TIMING=1): accumulates wall-clock per
 # pipeline phase into TIMINGS {name: [seconds, calls]}.  Device fetches
@@ -297,7 +300,7 @@ class JaxDemuxEngine:
         R_total_pad = R_host_pad + S_pad
 
         with _phase("encode"):
-            host_packed = self._pack_host_rows(
+            host_packed, exc, packed2 = self._pack_host_rows(
                 seq_bytes, simple_reads, long_content, R_host_pad, L
             )
 
@@ -342,6 +345,7 @@ class JaxDemuxEngine:
             host_packed_dev = jnp.asarray(host_packed)
             simple_idx_dev = jnp.asarray(simple_idx)
             meta_dev = jnp.asarray(meta)
+            exc_dev = jnp.asarray(exc)
 
         results: List[List[BarbellMatch]] = [[] for _ in seqs]
         overflow_reads: set = set()
@@ -353,7 +357,8 @@ class JaxDemuxEngine:
         for gplan in self.plans:
             with _phase("demux_call.dispatch"):
                 out_dev = self._dispatch_group(
-                    gplan, host_packed_dev, simple_idx_dev, meta_dev, step, H_cap
+                    gplan, host_packed_dev, simple_idx_dev, meta_dev,
+                    exc_dev, packed2, step, H_cap
                 )
             pending.append((gplan, out_dev))
 
@@ -370,7 +375,8 @@ class JaxDemuxEngine:
                 cap = _pow2_at_least(total, lo=4 * H_cap)
                 out_np = np.asarray(
                     self._dispatch_group(
-                        gplan, host_packed_dev, simple_idx_dev, meta_dev, step, cap
+                        gplan, host_packed_dev, simple_idx_dev, meta_dev,
+                        exc_dev, packed2, step, cap
                     )
                 )
                 rec = out_np[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
@@ -402,17 +408,76 @@ class JaxDemuxEngine:
 
     def _pack_host_rows(
         self, seq_bytes, simple_reads, long_content, R_host_pad: int, L: int
-    ) -> np.ndarray:
-        """[R_host_pad, L/2] nibble-packed rows: simple reads encoded +
-        packed by the native extension (releases the GIL), long-read
-        chunk rows (already IUPAC masks) packed with numpy."""
+    ):
+        """-> (packed, exceptions, packed2).
+
+        Preferred form: 2-bit base codes (4 bases/byte, half the wire
+        bytes of the nibble form — the remote tunnel runs ~30MB/s) with
+        N/IUPAC/junk bytes as an exception list the device applies.
+        Batches with more than _EXC_CAP exceptional bytes, or hosts
+        without the native extension, fall back to nibble packing."""
         import ctypes
 
         from ..native import get_lib
 
         S = len(simple_reads)
-        packed = np.zeros((R_host_pad, L // 2), dtype=np.uint8)
         lib = get_lib()
+        if lib is not None:
+            packed = np.zeros((R_host_pad, L // 4), dtype=np.uint8)
+            exc = np.full(_EXC_CAP, (R_host_pad * L) << 4, dtype=np.int32)
+            total_exc = 0
+            ok = True
+            if S:
+                blob = b"".join(seq_bytes[r] for r in simple_reads)
+                offs = np.zeros(S, dtype=np.int64)
+                ls = np.zeros(S, dtype=np.int32)
+                pos = 0
+                for i, r in enumerate(simple_reads):
+                    offs[i] = pos
+                    ls[i] = len(seq_bytes[r])
+                    pos += ls[i]
+                total_exc = lib.bbio_encode_pack2_rows(
+                    blob,
+                    offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                    ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    S,
+                    L,
+                    dna.CODE2_LUT.tobytes(),
+                    dna.ENCODE_LUT.tobytes(),
+                    packed.ctypes.data_as(ctypes.c_char_p),
+                    exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    _EXC_CAP,
+                )
+                ok = total_exc <= _EXC_CAP
+            if ok and long_content:
+                # long-read chunk rows hold 4-bit masks already
+                for i, content in enumerate(long_content):
+                    r = S + i
+                    codes = dna.MASK_CODE_LUT[content]
+                    bad = np.nonzero(codes > 3)[0]
+                    if total_exc + len(bad) > _EXC_CAP:
+                        ok = False
+                        break
+                    for j in bad:
+                        exc[total_exc] = np.int32(
+                            ((r * L + int(j)) << 4) | (int(content[j]) & 0xF)
+                        )
+                        total_exc += 1
+                    codes = codes.copy()
+                    codes[bad] = 0
+                    row = np.zeros(L, dtype=np.uint8)
+                    row[: len(codes)] = codes
+                    packed[r] = (
+                        row[0::4]
+                        | (row[1::4] << 2)
+                        | (row[2::4] << 4)
+                        | (row[3::4] << 6)
+                    )
+            if ok:
+                return packed, exc, True
+
+        # nibble fallback
+        packed = np.zeros((R_host_pad, L // 2), dtype=np.uint8)
         if S and lib is not None:
             blob = b"".join(seq_bytes[r] for r in simple_reads)
             offs = np.zeros(S, dtype=np.int64)
@@ -442,11 +507,11 @@ class JaxDemuxEngine:
             for i, content in enumerate(long_content):
                 rows[i, : len(content)] = content
             packed[S : S + len(long_content)] = comp.pack_rows_np(rows)
-        return packed
+        return packed, np.zeros(1, dtype=np.int32), False
 
     def _dispatch_group(
         self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
-        step: int, H_cap: int,
+        exc_dev, packed2: bool, step: int, H_cap: int,
     ):
         jnp = self._jnp
         cache = gplan._scalars_dev
@@ -484,6 +549,7 @@ class JaxDemuxEngine:
             meta_dev,
             gi_dev,
             gf_dev,
+            exc_dev,
             K=self.K,
             m=gplan.m,
             k_units=gplan.k_units,
@@ -497,6 +563,7 @@ class JaxDemuxEngine:
             padding=PADDING,
             use_pallas=self.use_pallas,
             interpret=self._on_cpu,
+            packed2=packed2,
         )
 
     def _assemble(

@@ -86,6 +86,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.bbio_writer_close.restype = ctypes.c_int
         lib.bbio_writer_close.argtypes = [ctypes.c_void_p]
+        lib.bbio_encode_pack2_rows.restype = ctypes.c_long
+        lib.bbio_encode_pack2_rows.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_char_p,  # 2-bit code LUT
+            ctypes.c_char_p,  # mask LUT
+            ctypes.c_char_p,  # out [n, L/4]
+            ctypes.POINTER(ctypes.c_int),  # exceptions out
+            ctypes.c_long,  # exception capacity
+        ]
         lib.bbio_encode_pack_rows.restype = None
         lib.bbio_encode_pack_rows.argtypes = [
             ctypes.c_char_p,  # concatenated seq bytes

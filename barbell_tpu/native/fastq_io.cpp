@@ -177,6 +177,40 @@ void bbio_encode_pack_rows(const unsigned char* seqs, const long* offs,
     }
 }
 
+// 2-bit variant: A/C/G/T pack 4 bases/byte (half the host->device wire
+// bytes of the nibble form); any byte whose IUPAC mask is not a single
+// base (N, degenerate codes, junk) is emitted as an exception record
+// `flat_pos * 16 | mask` applied device-side.  Returns the exception
+// count (may exceed exc_cap — caller must then fall back to nibbles).
+// lut2: byte -> 0..3 code or 255;  lutm: byte -> 4-bit mask (& 0xF).
+long bbio_encode_pack2_rows(const unsigned char* seqs, const long* offs,
+                            const int* lens, int n, int L,
+                            const unsigned char* lut2,
+                            const unsigned char* lutm,
+                            unsigned char* out, int* exc_out,
+                            long exc_cap) {
+    const int quarter = L / 4;
+    long n_exc = 0;
+    for (int i = 0; i < n; i++) {
+        const unsigned char* s = seqs + offs[i];
+        unsigned char* p = out + (long)i * quarter;
+        const int len = lens[i];
+        memset(p, 0, quarter);
+        for (int j = 0; j < len; j++) {
+            unsigned char code = lut2[s[j]];
+            if (code > 3) {
+                if (n_exc < exc_cap)
+                    exc_out[n_exc] =
+                        (int)((((long)i * L + j) << 4) | (lutm[s[j]] & 0xF));
+                n_exc++;
+                code = 0;  // placeholder; the exception overrides it
+            }
+            p[j >> 2] |= (unsigned char)(code << ((j & 3) * 2));
+        }
+    }
+    return n_exc;
+}
+
 void* bbio_reader_open(const char** paths, int n) {
     Reader* r = new Reader();
     for (int i = 0; i < n; i++) r->paths.emplace_back(paths[i]);

@@ -110,6 +110,30 @@ def _assemble_rows(host_packed, simple_idx):
     return jax.lax.optimization_barrier(rows)
 
 
+def _assemble_rows2(host_packed2, exc, hlen, simple_idx):
+    """2-bit variant: codes unpack to single-base masks (1 << code),
+    positions past each row's content zero out (code 0 would otherwise
+    read as 'A'), and the exception list overrides N/IUPAC/junk bytes
+    (entry = flat_pos*16 | mask; out-of-range pos = padding, dropped).
+    Host->device bytes halve versus the nibble form — the tunnel runs
+    ~30MB/s, so wire bytes are a first-order throughput term."""
+    R0, Q = host_packed2.shape
+    L = Q * 4
+    b = host_packed2.astype(jnp.int32)
+    codes = jnp.stack(
+        [(b >> (2 * s)) & 3 for s in range(4)], axis=2
+    ).reshape(R0, L)
+    masks = (1 << codes).astype(jnp.uint8)
+    jpos = jnp.arange(L, dtype=jnp.int32)
+    masks = jnp.where(jpos[None, :] < hlen[:, None], masks, 0)
+    flat = masks.reshape(-1)
+    flat = flat.at[exc >> 4].set((exc & 15).astype(jnp.uint8), mode="drop")
+    host_rows = flat.reshape(R0, L)
+    rc_simple = _complement_masks(host_rows[simple_idx][:, ::-1])
+    rows = jnp.concatenate([host_rows, rc_simple], axis=0)
+    return jax.lax.optimization_barrier(rows)
+
+
 def _scan_keys(
     pattern,
     patw,
@@ -261,7 +285,8 @@ META_COLS = 12
     jax.jit,
     static_argnames=(
         "K", "m", "k_units", "W_words", "top_bit", "Wf", "plen", "Wb",
-        "P", "H_cap", "padding", "use_pallas", "interpret", "_stages",
+        "P", "H_cap", "padding", "use_pallas", "interpret", "packed2",
+        "_stages",
     ),
 )
 def demux_call(
@@ -274,6 +299,7 @@ def demux_call(
     gi,  # [7] int32: alpha, mask_a, mask_b, k1, iv_a, iv_b, step —
     #     packed so a batch ships 2 small arrays, not 10 scalar uploads
     gf,  # [3] f32: perfect, min_score, min_score_diff
+    exc,  # [E] int32 exception list (packed2 mode; dummy otherwise)
     K: int,
     m: int,
     k_units: int,
@@ -287,6 +313,7 @@ def demux_call(
     padding: int,  # barcode window padding (PADDING)
     use_pallas: bool,
     interpret: bool,
+    packed2: bool = False,  # host rows are 2-bit codes + exceptions
     _stages: int = 4,  # debug: 1=scan, 2=+trace, 3=+rank1, 4=full
 ):
     """The full demux pipeline for one (group, batch) in ONE device call.
@@ -308,7 +335,13 @@ def demux_call(
     k1_scaled, iv_a, iv_b, step = gi[3], gi[4], gi[5], gi[6]
     perfect, min_score, min_score_diff = gf[0], gf[1], gf[2]
 
-    rows = _assemble_rows(host_packed, simple_idx)
+    if packed2:
+        R_host = host_packed.shape[0]
+        rows = _assemble_rows2(
+            host_packed, exc, meta[:R_host, M_TEC], simple_idx
+        )
+    else:
+        rows = _assemble_rows(host_packed, simple_idx)
     R, L = rows.shape
     L_key = L + 2
 

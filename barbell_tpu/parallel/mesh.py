@@ -96,10 +96,10 @@ def sharded_demux_step(mesh: Mesh, **statics):
     from ..ops import composite as comp
 
     def local_step(flank, patw, patterns_all, host_packed, simple_idx, meta,
-                   gi, gf):
+                   gi, gf, exc):
         out = comp.demux_call(
             flank, patw, patterns_all, host_packed, simple_idx, meta, gi, gf,
-            **statics,
+            exc, **statics,
         )
         global_hits = jax.lax.psum(out[-1], READS_AXIS)
         return out, global_hits
@@ -114,6 +114,7 @@ def sharded_demux_step(mesh: Mesh, **statics):
             P(READS_AXIS, None),
             P(READS_AXIS),
             P(READS_AXIS, None),
+            P(None),
             P(None),
             P(None),
         ),

@@ -40,6 +40,16 @@ for _ch, _m in IUPAC_MASK.items():
     ENCODE_LUT[ord(_ch)] = _m
     ENCODE_LUT[ord(_ch.lower())] = _m
 
+# byte -> 2-bit base code (A=0 C=1 G=2 T=3); anything whose mask is not
+# a single base (N, degenerate IUPAC, junk) -> 255 and must ride the
+# exception list of the 2-bit device upload path.
+CODE2_LUT = np.full(256, 255, dtype=np.uint8)
+# 4-bit mask -> 2-bit code, same convention (255 = not a single base).
+MASK_CODE_LUT = np.full(256, 255, dtype=np.uint8)
+for _code, _mask in enumerate((1, 2, 4, 8)):
+    MASK_CODE_LUT[_mask] = _code
+    CODE2_LUT[np.nonzero(ENCODE_LUT == _mask)[0]] = _code
+
 # byte -> complement byte (identity for unknown bytes, mirrors the
 # reference's RC table which leaves unknown bytes unchanged).
 COMPLEMENT_LUT = np.arange(256, dtype=np.uint8)

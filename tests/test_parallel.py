@@ -132,10 +132,11 @@ def test_sharded_demux_step_matches_single_device():
         np.concatenate(sidxs, axis=0),
     )
     step = sharded_demux_step(mesh, **statics)
+    exc_dummy = jnp.zeros(1, dtype=jnp.int32)
     out, global_hits = step(
         jnp.asarray(plan.flank), jnp.asarray(plan.patw),
         jnp.asarray(plan.patterns_all), packed_s, sidx_s, meta_s,
-        jnp.asarray(gi), jnp.asarray(gf),
+        jnp.asarray(gi), jnp.asarray(gf), exc_dummy,
     )
     out = np.asarray(out)
     per_shard = (R_pad + S_pad) * comp.REC_COLS + (R_pad + S_pad) + 1
@@ -147,7 +148,7 @@ def test_sharded_demux_step_matches_single_device():
                 jnp.asarray(plan.flank), jnp.asarray(plan.patw),
                 jnp.asarray(plan.patterns_all), jnp.asarray(packs[d]),
                 jnp.asarray(sidxs[d]), jnp.asarray(metas[d]),
-                jnp.asarray(gi), jnp.asarray(gf), **statics,
+                jnp.asarray(gi), jnp.asarray(gf), exc_dummy, **statics,
             )
         )
         got = out[d * per_shard : (d + 1) * per_shard]
