@@ -587,39 +587,53 @@ class JaxDemuxEngine:
         order = np.lexsort((end_abs, isrc, reads))
         flank_type = group.barcodes[0].match_type.as_flank()
         flank_cost_len = len(group.barcodes[0].seq)
-        for oi in order:
-            lane = int(lanes[oi])
-            ridx = int(reads[oi])
+        # bulk-convert to python ints once — per-element numpy scalar
+        # indexing dominates this loop otherwise (GIL-bound host work
+        # caps the batch pipeline)
+        rec_l = rec[lanes].tolist()
+        reads_l = reads.tolist()
+        isrc_l = isrc.tolist()
+        end_l = end_abs.tolist()
+        lens_l = lens.tolist()
+        R_COST, R_ACC, R_HASIV = comp.REC_COST, comp.REC_ACC, comp.REC_HASIV
+        R_BS, R_FST, R_TOP = comp.REC_BSTART, comp.REC_FSTEXT, comp.REC_TOP
+        R_IVPJ, R_IVEJ, R_IVPI, R_IVEI, R_IVC = (
+            comp.REC_IVPJ, comp.REC_IVEJ, comp.REC_IVPI, comp.REC_IVEI,
+            comp.REC_IVCOST,
+        )
+        for oi in order.tolist():
+            ridx = reads_l[oi]
             if ridx in overflow_reads:
                 continue
-            n = int(lens[ridx])
-            strand = Strand.Rc if isrc[oi] else Strand.Fwd
-            fs_t = int(rec[lane, comp.REC_FSTEXT])
-            fe_t = int(end_abs[oi])
+            row = rec_l[oi]
+            n = lens_l[ridx]
+            strand = Strand.Rc if isrc_l[oi] else Strand.Fwd
+            fs_t = row[R_FST]
+            fe_t = end_l[oi]
             if strand is Strand.Rc:
                 fs, fe = oracle.rc_span_to_fwd(fs_t, fe_t, n)
             else:
                 fs, fe = fs_t, fe_t
-            flank_cost = oracle.cost_to_int(int(rec[lane, comp.REC_COST]))
-            if rec[lane, comp.REC_ACC]:
-                if rec[lane, comp.REC_HASIV] == 0:
+            flank_cost = oracle.cost_to_int(row[R_COST])
+            if row[R_ACC]:
+                if row[R_HASIV] == 0:
                     raise RuntimeError("No barcode match region found; unusual")
-                bstart = int(rec[lane, comp.REC_BSTART])
-                barcode = group.barcodes[int(rec[lane, comp.REC_TOP]) % P]
+                bstart = row[R_BS]
+                barcode = group.barcodes[row[R_TOP] % P]
                 results[ridx].append(
                     BarbellMatch(
                         read_id=read_ids[ridx],
                         read_len=n,
                         rel_dist_to_end=rel_dist_to_end(fs, n),
-                        read_start_bar=bstart + int(rec[lane, comp.REC_IVPJ]),
-                        read_end_bar=bstart + int(rec[lane, comp.REC_IVEJ]),
+                        read_start_bar=bstart + row[R_IVPJ],
+                        read_end_bar=bstart + row[R_IVEJ],
                         read_start_flank=fs,
                         read_end_flank=fe,
-                        bar_start=bstart + int(rec[lane, comp.REC_IVPI]),
-                        bar_end=bstart + int(rec[lane, comp.REC_IVEI]),
+                        bar_start=bstart + row[R_IVPI],
+                        bar_end=bstart + row[R_IVEI],
                         match_type=barcode.match_type,
                         flank_cost=flank_cost,
-                        barcode_cost=int(rec[lane, comp.REC_IVCOST]),
+                        barcode_cost=row[R_IVC],
                         label=barcode.label,
                         strand=strand,
                         cuts=None,
