@@ -86,3 +86,70 @@ def test_native_reader_rejects_garbage(tmp_path):
     p.write_text("not a fastq at all\n")
     with pytest.raises(ValueError):
         list(fastx_native.iter_fastq_batches_native([str(p)], 4))
+
+
+def test_native_encode_pack2_matches_reference():
+    """2-bit pack + exception list must reconstruct the exact nibble
+    masks the reference path produces, for ACGT/N/IUPAC/junk bytes."""
+    import numpy as np
+    import pytest
+
+    from barbell_tpu.native import get_lib
+    from barbell_tpu.utils import dna
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native extension unavailable")
+    import ctypes
+    import random
+
+    rng = random.Random(4)
+    L = 64
+    seqs = [
+        b"ACGTACGTNNRYacgtXX",
+        bytes(rng.choice(b"ACGTNacgtRYKM?") for _ in range(L)),
+        b"",
+        b"N" * L,
+    ]
+    n = len(seqs)
+    blob = b"".join(seqs)
+    offs = np.zeros(n, dtype=np.int64)
+    ls = np.zeros(n, dtype=np.int32)
+    pos = 0
+    for i, s in enumerate(seqs):
+        offs[i] = pos
+        ls[i] = len(s)
+        pos += len(s)
+    packed = np.zeros((n, L // 4), dtype=np.uint8)
+    cap = 4 * L
+    exc = np.full(cap, (n * L) << 4, dtype=np.int32)
+    n_exc = lib.bbio_encode_pack2_rows(
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n,
+        L,
+        dna.CODE2_LUT.tobytes(),
+        dna.ENCODE_LUT.tobytes(),
+        packed.ctypes.data_as(ctypes.c_char_p),
+        exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cap,
+    )
+    assert 0 < n_exc <= cap
+
+    # reconstruct like the device does
+    codes = np.zeros((n, L), dtype=np.uint8)
+    for s in range(4):
+        codes[:, s::4] = (packed >> (2 * s)) & 3
+    masks = (1 << codes).astype(np.uint8)
+    jpos = np.arange(L)
+    masks = np.where(jpos[None, :] < ls[:, None], masks, 0)
+    flat = masks.reshape(-1)
+    for e in exc[:n_exc]:
+        flat[e >> 4] = e & 15
+    got = flat.reshape(n, L)
+
+    for i, s in enumerate(seqs):
+        want = np.zeros(L, dtype=np.uint8)
+        want[: len(s)] = dna.encode(s) & 0xF
+        assert np.array_equal(got[i], want), i
