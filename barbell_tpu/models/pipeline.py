@@ -49,6 +49,7 @@ from .records import BarbellMatch, Strand, rel_dist_to_end
 MAX_ROW_LEN = 8192  # chunk width for long reads
 MAX_HITS_PER_ROW = 16  # K for valley compaction
 _EXC_CAP = 4096  # non-ACGT bytes per batch before nibble fallback
+_CAT_BUCKET = 512 * 1024  # concatenated-code buffer size granularity
 
 # Env-gated phase timing (BARBELL_TIMING=1): accumulates wall-clock per
 # pipeline phase into TIMINGS {name: [seconds, calls]}.  Device fetches
@@ -300,7 +301,7 @@ class JaxDemuxEngine:
         R_total_pad = R_host_pad + S_pad
 
         with _phase("encode"):
-            host_packed, exc, packed2 = self._pack_host_rows(
+            host_packed, row_start, exc, pack_mode = self._pack_host_rows(
                 seq_bytes, simple_reads, long_content, R_host_pad, L
             )
 
@@ -346,6 +347,7 @@ class JaxDemuxEngine:
             simple_idx_dev = jnp.asarray(simple_idx)
             meta_dev = jnp.asarray(meta)
             exc_dev = jnp.asarray(exc)
+            row_start_dev = jnp.asarray(row_start)
 
         results: List[List[BarbellMatch]] = [[] for _ in seqs]
         overflow_reads: set = set()
@@ -358,7 +360,7 @@ class JaxDemuxEngine:
             with _phase("demux_call.dispatch"):
                 out_dev = self._dispatch_group(
                     gplan, host_packed_dev, simple_idx_dev, meta_dev,
-                    exc_dev, packed2, step, H_cap
+                    exc_dev, row_start_dev, pack_mode, L, step, H_cap
                 )
             pending.append((gplan, out_dev))
 
@@ -376,7 +378,7 @@ class JaxDemuxEngine:
                 out_np = np.asarray(
                     self._dispatch_group(
                         gplan, host_packed_dev, simple_idx_dev, meta_dev,
-                        exc_dev, packed2, step, cap
+                        exc_dev, row_start_dev, pack_mode, L, step, cap
                     )
                 )
                 rec = out_np[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
@@ -409,13 +411,16 @@ class JaxDemuxEngine:
     def _pack_host_rows(
         self, seq_bytes, simple_reads, long_content, R_host_pad: int, L: int
     ):
-        """-> (packed, exceptions, packed2).
+        """-> (packed, row_start, exceptions, pack_mode).
 
-        Preferred form: 2-bit base codes (4 bases/byte, half the wire
-        bytes of the nibble form — the remote tunnel runs ~30MB/s) with
-        N/IUPAC/junk bytes as an exception list the device applies.
-        Batches with more than _EXC_CAP exceptional bytes, or hosts
-        without the native extension, fall back to nibble packing."""
+        Preferred form (mode 2): concatenated 2-bit base codes — rows
+        pack back to back so neither the 4x nibble blow-up nor row
+        padding crosses the ~30MB/s tunnel (reads average ~56% of the
+        padded row width).  N/IUPAC/junk bytes ride an exception list
+        the device applies after scattering rows into the padded
+        layout.  Batches with more than _EXC_CAP exceptional bytes, or
+        hosts without the native extension, fall back to nibble rows
+        (mode 0)."""
         import ctypes
 
         from ..native import get_lib
@@ -423,7 +428,16 @@ class JaxDemuxEngine:
         S = len(simple_reads)
         lib = get_lib()
         if lib is not None:
-            packed = np.zeros((R_host_pad, L // 4), dtype=np.uint8)
+            nb = np.zeros(R_host_pad, dtype=np.int64)
+            for i, r in enumerate(simple_reads):
+                nb[i] = (len(seq_bytes[r]) + 3) // 4
+            for i, content in enumerate(long_content):
+                nb[S + i] = (len(content) + 3) // 4
+            starts = np.zeros(R_host_pad, dtype=np.int64)
+            np.cumsum(nb[:-1], out=starts[1:])
+            total = int(starts[-1] + nb[-1])
+            t_pad = max(_CAT_BUCKET, -(-total // _CAT_BUCKET) * _CAT_BUCKET)
+            flat = np.zeros(t_pad, dtype=np.uint8)
             exc = np.full(_EXC_CAP, (R_host_pad * L) << 4, dtype=np.int32)
             total_exc = 0
             ok = True
@@ -436,15 +450,16 @@ class JaxDemuxEngine:
                     offs[i] = pos
                     ls[i] = len(seq_bytes[r])
                     pos += ls[i]
-                total_exc = lib.bbio_encode_pack2_rows(
+                total_exc = lib.bbio_encode_pack2_cat(
                     blob,
                     offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                     ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    starts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                     S,
                     L,
                     dna.CODE2_LUT.tobytes(),
                     dna.ENCODE_LUT.tobytes(),
-                    packed.ctypes.data_as(ctypes.c_char_p),
+                    flat.ctypes.data_as(ctypes.c_char_p),
                     exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                     _EXC_CAP,
                 )
@@ -465,16 +480,16 @@ class JaxDemuxEngine:
                         total_exc += 1
                     codes = codes.copy()
                     codes[bad] = 0
-                    row = np.zeros(L, dtype=np.uint8)
+                    row = np.zeros(int(nb[r]) * 4, dtype=np.uint8)
                     row[: len(codes)] = codes
-                    packed[r] = (
+                    flat[starts[r] : starts[r] + nb[r]] = (
                         row[0::4]
                         | (row[1::4] << 2)
                         | (row[2::4] << 4)
                         | (row[3::4] << 6)
                     )
             if ok:
-                return packed, exc, True
+                return flat, starts.astype(np.int32), exc, 2
 
         # nibble fallback
         packed = np.zeros((R_host_pad, L // 2), dtype=np.uint8)
@@ -507,11 +522,16 @@ class JaxDemuxEngine:
             for i, content in enumerate(long_content):
                 rows[i, : len(content)] = content
             packed[S : S + len(long_content)] = comp.pack_rows_np(rows)
-        return packed, np.zeros(1, dtype=np.int32), False
+        return (
+            packed,
+            np.zeros(R_host_pad, dtype=np.int32),
+            np.zeros(1, dtype=np.int32),
+            0,
+        )
 
     def _dispatch_group(
         self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
-        exc_dev, packed2: bool, step: int, H_cap: int,
+        exc_dev, row_start_dev, pack_mode: int, L: int, step: int, H_cap: int,
     ):
         jnp = self._jnp
         cache = gplan._scalars_dev
@@ -550,6 +570,7 @@ class JaxDemuxEngine:
             gi_dev,
             gf_dev,
             exc_dev,
+            row_start_dev,
             K=self.K,
             m=gplan.m,
             k_units=gplan.k_units,
@@ -563,7 +584,8 @@ class JaxDemuxEngine:
             padding=PADDING,
             use_pallas=self.use_pallas,
             interpret=self._on_cpu,
-            packed2=packed2,
+            pack_mode=pack_mode,
+            L_rows=L,
         )
 
     def _assemble(

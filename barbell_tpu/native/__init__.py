@@ -86,6 +86,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.bbio_writer_close.restype = ctypes.c_int
         lib.bbio_writer_close.argtypes = [ctypes.c_void_p]
+        lib.bbio_encode_pack2_cat.restype = ctypes.c_long
+        lib.bbio_encode_pack2_cat.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_long),  # per-row byte starts
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_long,
+        ]
         lib.bbio_encode_pack2_rows.restype = ctypes.c_long
         lib.bbio_encode_pack2_rows.argtypes = [
             ctypes.c_char_p,

@@ -211,6 +211,37 @@ long bbio_encode_pack2_rows(const unsigned char* seqs, const long* offs,
     return n_exc;
 }
 
+// Concatenated 2-bit variant: rows pack back to back (each starting at
+// starts[i], a byte offset into `out`; ceil(len/4) bytes per row) so
+// row padding never crosses the wire.  Exceptions still address the
+// PADDED layout (row*L + col) — the device applies them after
+// scattering rows into the padded buffer.
+long bbio_encode_pack2_cat(const unsigned char* seqs, const long* offs,
+                           const int* lens, const long* starts, int n,
+                           int L, const unsigned char* lut2,
+                           const unsigned char* lutm, unsigned char* out,
+                           int* exc_out, long exc_cap) {
+    long n_exc = 0;
+    for (int i = 0; i < n; i++) {
+        const unsigned char* s = seqs + offs[i];
+        unsigned char* p = out + starts[i];
+        const int len = lens[i];
+        memset(p, 0, (len + 3) / 4);
+        for (int j = 0; j < len; j++) {
+            unsigned char code = lut2[s[j]];
+            if (code > 3) {
+                if (n_exc < exc_cap)
+                    exc_out[n_exc] =
+                        (int)((((long)i * L + j) << 4) | (lutm[s[j]] & 0xF));
+                n_exc++;
+                code = 0;
+            }
+            p[j >> 2] |= (unsigned char)(code << ((j & 3) * 2));
+        }
+    }
+    return n_exc;
+}
+
 void* bbio_reader_open(const char** paths, int n) {
     Reader* r = new Reader();
     for (int i = 0; i < n; i++) r->paths.emplace_back(paths[i]);

@@ -110,6 +110,32 @@ def _assemble_rows(host_packed, simple_idx):
     return jax.lax.optimization_barrier(rows)
 
 
+def _assemble_rows2cat(flat_codes, row_start, exc, hlen, simple_idx, L):
+    """Concatenated 2-bit variant: rows pack back to back in one flat
+    byte buffer (no padding on the wire — reads average ~56% of the
+    padded row width); the device scatters each row's ceil(len/4) code
+    bytes into the padded layout, then proceeds as _assemble_rows2."""
+    R0 = row_start.shape[0]
+    Q = L // 4
+    qpos = jnp.arange(Q, dtype=jnp.int32)
+    idx = jnp.clip(
+        row_start[:, None] + qpos[None, :], 0, flat_codes.shape[0] - 1
+    )
+    b = jnp.take(flat_codes, idx).astype(jnp.int32)
+    codes = jnp.stack(
+        [(b >> (2 * s)) & 3 for s in range(4)], axis=2
+    ).reshape(R0, L)
+    masks = (1 << codes).astype(jnp.uint8)
+    jpos = jnp.arange(L, dtype=jnp.int32)
+    masks = jnp.where(jpos[None, :] < hlen[:, None], masks, 0)
+    flat = masks.reshape(-1)
+    flat = flat.at[exc >> 4].set((exc & 15).astype(jnp.uint8), mode="drop")
+    host_rows = flat.reshape(R0, L)
+    rc_simple = _complement_masks(host_rows[simple_idx][:, ::-1])
+    rows = jnp.concatenate([host_rows, rc_simple], axis=0)
+    return jax.lax.optimization_barrier(rows)
+
+
 def _assemble_rows2(host_packed2, exc, hlen, simple_idx):
     """2-bit variant: codes unpack to single-base masks (1 << code),
     positions past each row's content zero out (code 0 would otherwise
@@ -285,8 +311,8 @@ META_COLS = 12
     jax.jit,
     static_argnames=(
         "K", "m", "k_units", "W_words", "top_bit", "Wf", "plen", "Wb",
-        "P", "H_cap", "padding", "use_pallas", "interpret", "packed2",
-        "_stages",
+        "P", "H_cap", "padding", "use_pallas", "interpret", "pack_mode",
+        "L_rows", "_stages",
     ),
 )
 def demux_call(
@@ -299,7 +325,8 @@ def demux_call(
     gi,  # [7] int32: alpha, mask_a, mask_b, k1, iv_a, iv_b, step —
     #     packed so a batch ships 2 small arrays, not 10 scalar uploads
     gf,  # [3] f32: perfect, min_score, min_score_diff
-    exc,  # [E] int32 exception list (packed2 mode; dummy otherwise)
+    exc,  # [E] int32 exception list (2-bit modes; dummy otherwise)
+    row_start,  # [R_host] int32 byte starts (pack_mode 2; dummy otherwise)
     K: int,
     m: int,
     k_units: int,
@@ -313,7 +340,8 @@ def demux_call(
     padding: int,  # barcode window padding (PADDING)
     use_pallas: bool,
     interpret: bool,
-    packed2: bool = False,  # host rows are 2-bit codes + exceptions
+    pack_mode: int = 0,  # 0 nibble, 1 = 2-bit padded, 2 = 2-bit concatenated
+    L_rows: int = 0,  # row width (pack_mode 2; other modes derive it)
     _stages: int = 4,  # debug: 1=scan, 2=+trace, 3=+rank1, 4=full
 ):
     """The full demux pipeline for one (group, batch) in ONE device call.
@@ -335,7 +363,13 @@ def demux_call(
     k1_scaled, iv_a, iv_b, step = gi[3], gi[4], gi[5], gi[6]
     perfect, min_score, min_score_diff = gf[0], gf[1], gf[2]
 
-    if packed2:
+    if pack_mode == 2:
+        R_host = row_start.shape[0]
+        rows = _assemble_rows2cat(
+            host_packed, row_start, exc, meta[:R_host, M_TEC], simple_idx,
+            L_rows,
+        )
+    elif pack_mode == 1:
         R_host = host_packed.shape[0]
         rows = _assemble_rows2(
             host_packed, exc, meta[:R_host, M_TEC], simple_idx

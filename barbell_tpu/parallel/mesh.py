@@ -96,10 +96,10 @@ def sharded_demux_step(mesh: Mesh, **statics):
     from ..ops import composite as comp
 
     def local_step(flank, patw, patterns_all, host_packed, simple_idx, meta,
-                   gi, gf, exc):
+                   gi, gf, exc, row_start):
         out = comp.demux_call(
             flank, patw, patterns_all, host_packed, simple_idx, meta, gi, gf,
-            exc, **statics,
+            exc, row_start, **statics,
         )
         global_hits = jax.lax.psum(out[-1], READS_AXIS)
         return out, global_hits
@@ -117,6 +117,7 @@ def sharded_demux_step(mesh: Mesh, **statics):
             P(None),
             P(None),
             P(None),
+            P(READS_AXIS),
         ),
         out_specs=(P(READS_AXIS), P()),
     )

@@ -133,10 +133,12 @@ def test_sharded_demux_step_matches_single_device():
     )
     step = sharded_demux_step(mesh, **statics)
     exc_dummy = jnp.zeros(1, dtype=jnp.int32)
+    rs_dummy = jnp.zeros(D * R_pad, dtype=jnp.int32)
+    rs_s = shard_rows(mesh, np.zeros(D * R_pad, dtype=np.int32))[0]
     out, global_hits = step(
         jnp.asarray(plan.flank), jnp.asarray(plan.patw),
         jnp.asarray(plan.patterns_all), packed_s, sidx_s, meta_s,
-        jnp.asarray(gi), jnp.asarray(gf), exc_dummy,
+        jnp.asarray(gi), jnp.asarray(gf), exc_dummy, rs_s,
     )
     out = np.asarray(out)
     per_shard = (R_pad + S_pad) * comp.REC_COLS + (R_pad + S_pad) + 1
@@ -148,7 +150,8 @@ def test_sharded_demux_step_matches_single_device():
                 jnp.asarray(plan.flank), jnp.asarray(plan.patw),
                 jnp.asarray(plan.patterns_all), jnp.asarray(packs[d]),
                 jnp.asarray(sidxs[d]), jnp.asarray(metas[d]),
-                jnp.asarray(gi), jnp.asarray(gf), exc_dummy, **statics,
+                jnp.asarray(gi), jnp.asarray(gf), exc_dummy,
+                jnp.zeros(R_pad, dtype=jnp.int32), **statics,
             )
         )
         got = out[d * per_shard : (d + 1) * per_shard]
