@@ -210,11 +210,29 @@ class JaxDemuxEngine:
         if use_pallas is None:
             # Interpret-mode pallas on CPU is only for targeted tests.
             use_pallas = not self._on_cpu
-        # Valley keys must fit int32: cost*UNIT*(L+2)+col.
-        max_k = max(p.k_units for p in self.plans)
-        if max_k * oracle.COST_SCALE * (max_row_len + 2) >= 2**31:
-            use_pallas = False
         self.use_pallas = bool(use_pallas)
+        # Valley keys (cost_scaled*(L+2)+col) must stay below the BIG
+        # sentinel (2**30) on BOTH the pallas and jnp paths, or valid
+        # hits silently read as invalid.  Long flanks (large k) shrink
+        # the row width until keys fit; impossible fits are an error,
+        # never silent truncation.
+        max_k_scaled = max(p.k_units for p in self.plans) * oracle.COST_SCALE
+        while (
+            self.max_row_len > 256
+            and max_k_scaled * (self.max_row_len + 2) + self.max_row_len
+            >= 2**30
+        ):
+            self.max_row_len //= 2
+        if max_k_scaled * (self.max_row_len + 2) + self.max_row_len >= 2**30:
+            raise ValueError(
+                f"flank threshold too large for valley keys: k_scaled="
+                f"{max_k_scaled} needs rows shorter than 256"
+            )
+        if self.max_row_len <= self.halo + PADDING + 2:
+            raise ValueError(
+                f"row width {self.max_row_len} (shrunk for valley-key "
+                f"headroom) cannot hold the flank halo {self.halo}"
+            )
 
     # ------------------------------------------------------------------
 
@@ -299,6 +317,17 @@ class JaxDemuxEngine:
         R_host_pad = _pow2_at_least(max(R_host, 1), lo=8)
         S_pad = _pow2_at_least(max(S, 1), lo=8)
         R_total_pad = R_host_pad + S_pad
+
+        # Flat row indexing (gathers, exception scatter) is int32: keep
+        # the padded row matrix under 2**31 elements by splitting
+        # oversized batches (a batch of max-length chunked reads can
+        # exceed it at large BATCH).
+        if R_total_pad * L >= 2**31:
+            if B == 1:
+                return [self._scalar_fallback().demux(read_ids[0], seqs[0])]
+            half = B // 2
+            return self.demux_batch(read_ids[:half], seqs[:half]) + \
+                self.demux_batch(read_ids[half:], seqs[half:])
 
         with _phase("encode"):
             host_packed, row_start, exc, pack_mode = self._pack_host_rows(
@@ -438,7 +467,11 @@ class JaxDemuxEngine:
             total = int(starts[-1] + nb[-1])
             t_pad = max(_CAT_BUCKET, -(-total // _CAT_BUCKET) * _CAT_BUCKET)
             flat = np.zeros(t_pad, dtype=np.uint8)
-            exc = np.full(_EXC_CAP, (R_host_pad * L) << 4, dtype=np.int32)
+            # (flat_pos, mask) pairs; sentinel pos = one past the padded
+            # buffer, dropped by the device scatter.  demux_batch caps
+            # R_host_pad * L below 2**31 so the sentinel fits int32.
+            exc = np.zeros((_EXC_CAP, 2), dtype=np.int32)
+            exc[:, 0] = R_host_pad * L
             total_exc = 0
             ok = True
             if S:
@@ -473,11 +506,12 @@ class JaxDemuxEngine:
                     if total_exc + len(bad) > _EXC_CAP:
                         ok = False
                         break
-                    for j in bad:
-                        exc[total_exc] = np.int32(
-                            ((r * L + int(j)) << 4) | (int(content[j]) & 0xF)
+                    if len(bad):
+                        exc[total_exc : total_exc + len(bad), 0] = r * L + bad
+                        exc[total_exc : total_exc + len(bad), 1] = (
+                            content[bad] & 0xF
                         )
-                        total_exc += 1
+                        total_exc += len(bad)
                     codes = codes.copy()
                     codes[bad] = 0
                     row = np.zeros(int(nb[r]) * 4, dtype=np.uint8)
@@ -525,7 +559,7 @@ class JaxDemuxEngine:
         return (
             packed,
             np.zeros(R_host_pad, dtype=np.int32),
-            np.zeros(1, dtype=np.int32),
+            np.zeros((1, 2), dtype=np.int32),
             0,
         )
 

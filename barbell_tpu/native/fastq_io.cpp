@@ -179,9 +179,12 @@ void bbio_encode_pack_rows(const unsigned char* seqs, const long* offs,
 
 // 2-bit variant: A/C/G/T pack 4 bases/byte (half the host->device wire
 // bytes of the nibble form); any byte whose IUPAC mask is not a single
-// base (N, degenerate codes, junk) is emitted as an exception record
-// `flat_pos * 16 | mask` applied device-side.  Returns the exception
-// count (may exceed exc_cap — caller must then fall back to nibbles).
+// base (N, degenerate codes, junk) is emitted as an exception PAIR
+// (flat_pos, mask) applied device-side.  Pairs (not flat_pos*16|mask)
+// so positions up to 2^31 rows*cols survive int32 — the packed form
+// wrapped negative for rows >= 2^27/L and silently corrupted row 0.
+// Returns the exception count (may exceed exc_cap — caller must then
+// fall back to nibbles).  exc_out holds 2*exc_cap ints.
 // lut2: byte -> 0..3 code or 255;  lutm: byte -> 4-bit mask (& 0xF).
 long bbio_encode_pack2_rows(const unsigned char* seqs, const long* offs,
                             const int* lens, int n, int L,
@@ -199,9 +202,10 @@ long bbio_encode_pack2_rows(const unsigned char* seqs, const long* offs,
         for (int j = 0; j < len; j++) {
             unsigned char code = lut2[s[j]];
             if (code > 3) {
-                if (n_exc < exc_cap)
-                    exc_out[n_exc] =
-                        (int)((((long)i * L + j) << 4) | (lutm[s[j]] & 0xF));
+                if (n_exc < exc_cap) {
+                    exc_out[2 * n_exc] = (int)((long)i * L + j);
+                    exc_out[2 * n_exc + 1] = (int)(lutm[s[j]] & 0xF);
+                }
                 n_exc++;
                 code = 0;  // placeholder; the exception overrides it
             }
@@ -214,8 +218,9 @@ long bbio_encode_pack2_rows(const unsigned char* seqs, const long* offs,
 // Concatenated 2-bit variant: rows pack back to back (each starting at
 // starts[i], a byte offset into `out`; ceil(len/4) bytes per row) so
 // row padding never crosses the wire.  Exceptions still address the
-// PADDED layout (row*L + col) — the device applies them after
-// scattering rows into the padded buffer.
+// PADDED layout (flat_pos = row*L + col, emitted as (pos, mask) int32
+// pairs) — the device applies them after scattering rows into the
+// padded buffer.  exc_out holds 2*exc_cap ints.
 long bbio_encode_pack2_cat(const unsigned char* seqs, const long* offs,
                            const int* lens, const long* starts, int n,
                            int L, const unsigned char* lut2,
@@ -230,9 +235,10 @@ long bbio_encode_pack2_cat(const unsigned char* seqs, const long* offs,
         for (int j = 0; j < len; j++) {
             unsigned char code = lut2[s[j]];
             if (code > 3) {
-                if (n_exc < exc_cap)
-                    exc_out[n_exc] =
-                        (int)((((long)i * L + j) << 4) | (lutm[s[j]] & 0xF));
+                if (n_exc < exc_cap) {
+                    exc_out[2 * n_exc] = (int)((long)i * L + j);
+                    exc_out[2 * n_exc + 1] = (int)(lutm[s[j]] & 0xF);
+                }
                 n_exc++;
                 code = 0;
             }

@@ -129,7 +129,7 @@ def _assemble_rows2cat(flat_codes, row_start, exc, hlen, simple_idx, L):
     jpos = jnp.arange(L, dtype=jnp.int32)
     masks = jnp.where(jpos[None, :] < hlen[:, None], masks, 0)
     flat = masks.reshape(-1)
-    flat = flat.at[exc >> 4].set((exc & 15).astype(jnp.uint8), mode="drop")
+    flat = flat.at[exc[:, 0]].set(exc[:, 1].astype(jnp.uint8), mode="drop")
     host_rows = flat.reshape(R0, L)
     rc_simple = _complement_masks(host_rows[simple_idx][:, ::-1])
     rows = jnp.concatenate([host_rows, rc_simple], axis=0)
@@ -140,9 +140,11 @@ def _assemble_rows2(host_packed2, exc, hlen, simple_idx):
     """2-bit variant: codes unpack to single-base masks (1 << code),
     positions past each row's content zero out (code 0 would otherwise
     read as 'A'), and the exception list overrides N/IUPAC/junk bytes
-    (entry = flat_pos*16 | mask; out-of-range pos = padding, dropped).
-    Host->device bytes halve versus the nibble form — the tunnel runs
-    ~30MB/s, so wire bytes are a first-order throughput term."""
+    (entries are [E, 2] int32 (flat_pos, mask) pairs — pairs, not
+    flat_pos*16|mask, so positions don't wrap int32 on big batches;
+    out-of-range pos = padding, dropped).  Host->device bytes halve
+    versus the nibble form — the tunnel runs ~30MB/s, so wire bytes are
+    a first-order throughput term."""
     R0, Q = host_packed2.shape
     L = Q * 4
     b = host_packed2.astype(jnp.int32)
@@ -153,7 +155,7 @@ def _assemble_rows2(host_packed2, exc, hlen, simple_idx):
     jpos = jnp.arange(L, dtype=jnp.int32)
     masks = jnp.where(jpos[None, :] < hlen[:, None], masks, 0)
     flat = masks.reshape(-1)
-    flat = flat.at[exc >> 4].set((exc & 15).astype(jnp.uint8), mode="drop")
+    flat = flat.at[exc[:, 0]].set(exc[:, 1].astype(jnp.uint8), mode="drop")
     host_rows = flat.reshape(R0, L)
     rc_simple = _complement_masks(host_rows[simple_idx][:, ::-1])
     rows = jnp.concatenate([host_rows, rc_simple], axis=0)
@@ -325,7 +327,7 @@ def demux_call(
     gi,  # [7] int32: alpha, mask_a, mask_b, k1, iv_a, iv_b, step —
     #     packed so a batch ships 2 small arrays, not 10 scalar uploads
     gf,  # [3] f32: perfect, min_score, min_score_diff
-    exc,  # [E] int32 exception list (2-bit modes; dummy otherwise)
+    exc,  # [E, 2] int32 (flat_pos, mask) exceptions (2-bit modes; dummy otherwise)
     row_start,  # [R_host] int32 byte starts (pack_mode 2; dummy otherwise)
     K: int,
     m: int,

@@ -122,7 +122,8 @@ def test_native_encode_pack2_matches_reference():
         pos += len(s)
     packed = np.zeros((n, L // 4), dtype=np.uint8)
     cap = 4 * L
-    exc = np.full(cap, (n * L) << 4, dtype=np.int32)
+    exc = np.zeros((cap, 2), dtype=np.int32)
+    exc[:, 0] = n * L
     n_exc = lib.bbio_encode_pack2_rows(
         blob,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
@@ -145,11 +146,65 @@ def test_native_encode_pack2_matches_reference():
     jpos = np.arange(L)
     masks = np.where(jpos[None, :] < ls[:, None], masks, 0)
     flat = masks.reshape(-1)
-    for e in exc[:n_exc]:
-        flat[e >> 4] = e & 15
+    for pos, mask in exc[:n_exc]:
+        flat[pos] = mask
     got = flat.reshape(n, L)
 
     for i, s in enumerate(seqs):
         want = np.zeros(L, dtype=np.uint8)
         want[: len(s)] = dna.encode(s) & 0xF
         assert np.array_equal(got[i], want), i
+
+
+def test_native_pack2_cat_exceptions_past_row_16384():
+    """Regression: with L=8192, rows >= 16384 put flat_pos*16 past
+    2**31 — the old packed int32 form wrapped negative and corrupted
+    row 0 on device.  The (pos, mask) pair form must stay exact."""
+    import ctypes
+
+    import numpy as np
+    import pytest
+
+    from barbell_tpu.native import get_lib
+    from barbell_tpu.utils import dna
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native extension unavailable")
+
+    L = 8192
+    n = 16385  # last row's flat positions exceed 2**27 (old form: 2**31)
+    seqs = [b"AC"] * (n - 1) + [b"GANT"]  # N at row 16384, col 2
+    blob = b"".join(seqs)
+    offs = np.zeros(n, dtype=np.int64)
+    ls = np.zeros(n, dtype=np.int32)
+    starts = np.zeros(n, dtype=np.int64)
+    pos = 0
+    bpos = 0
+    for i, s in enumerate(seqs):
+        offs[i] = pos
+        ls[i] = len(s)
+        starts[i] = bpos
+        pos += len(s)
+        bpos += (len(s) + 3) // 4
+    flat = np.zeros(bpos, dtype=np.uint8)
+    cap = 8
+    exc = np.zeros((cap, 2), dtype=np.int32)
+    exc[:, 0] = n * L if n * L < 2**31 else 2**31 - 1
+    n_exc = lib.bbio_encode_pack2_cat(
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n,
+        L,
+        dna.CODE2_LUT.tobytes(),
+        dna.ENCODE_LUT.tobytes(),
+        flat.ctypes.data_as(ctypes.c_char_p),
+        exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cap,
+    )
+    assert n_exc == 1
+    assert int(exc[0, 0]) == 16384 * L + 2  # exact, positive, no wrap
+    assert int(exc[0, 1]) == 0xF  # N mask
+    assert exc[0, 0] > 2**27  # the range the old form could not encode
