@@ -130,6 +130,15 @@ class _Row:
     hi: int
 
 
+class _ShardPlan:
+    """Row plan for one device shard (or the whole batch, single-device)."""
+
+    __slots__ = (
+        "rows_meta", "simple_reads", "fwd_simple_row", "fwd_cover",
+        "long_content", "R_host", "S",
+    )
+
+
 class _GroupPlan:
     """Per-group compiled constants."""
 
@@ -179,6 +188,7 @@ class JaxDemuxEngine:
         max_row_len: int = MAX_ROW_LEN,
         max_hits_per_row: int = MAX_HITS_PER_ROW,
         use_pallas: Optional[bool] = None,
+        devices: Optional[Sequence] = None,
     ):
         from ..utils.jaxcache import enable_compilation_cache
 
@@ -205,6 +215,24 @@ class JaxDemuxEngine:
             p.patterns_all_dev = jax.numpy.asarray(p.patterns_all)
         self.halo = max(p.span for p in self.plans) + PADDING + 2
         self._fallback: Optional[Demuxer] = None
+
+        # Multi-chip: a 1-D reads mesh over all local devices.  Each
+        # batch's reads partition into per-device row blocks (whole
+        # reads stay on one shard — chunk rows gather barcode windows
+        # from sibling rows) and every group's fused call runs as ONE
+        # shard_map'd step; query tensors replicate, hit records stay
+        # sharded with their rows.  Single-device hosts keep the plain
+        # path with zero overhead.
+        if devices is None:
+            devices = jax.devices()
+        self.devices = list(devices)
+        self.mesh = None
+        self.last_dispatch: Optional[str] = None
+        self._sharded_steps: Dict[tuple, object] = {}
+        if len(self.devices) > 1:
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(self.devices)
 
         self._on_cpu = jax.devices()[0].platform == "cpu"
         if use_pallas is None:
@@ -267,55 +295,15 @@ class JaxDemuxEngine:
         step = L - PADDING - self.halo
         assert step > 0
 
-        rows_meta: List[_Row] = []
-        simple_reads: List[int] = []
-        fwd_simple_row: Dict[int, int] = {}
-        fwd_cover: Dict[int, List[Tuple[int, int]]] = {}
+        if self.mesh is not None and B > 1:
+            return self._demux_batch_sharded(
+                read_ids, seqs, seq_bytes, lens, L, step
+            )
 
-        # --- simple reads (fit one row; raw bytes, native-encoded) -----
-        for ridx in range(B):
-            n = int(lens[ridx])
-            if n == 0 or n > L:
-                continue
-            fwd_simple_row[ridx] = len(rows_meta)
-            simple_reads.append(ridx)
-            rows_meta.append(_Row(Strand.Fwd, ridx, 0, 0, n, True, True, 0, n))
-
-        # --- long reads: host-built fwd + rc chunk rows ----------------
-        def chunk_spans(n: int):
-            out = []
-            offset = 0
-            while True:
-                if offset + L >= n:
-                    out.append((offset, n - offset, offset == 0, True))
-                    return out
-                out.append((offset, L, offset == 0, False))
-                offset += step
-
-        long_content: List[np.ndarray] = []
-        long_reads = [r for r in range(B) if lens[r] > L]
-        for ridx in long_reads:
-            with _phase("encode"):
-                arr = dna.encode(seq_bytes[ridx])
-            n = len(arr)
-            rc_arr = dna.reverse_complement_masks(arr)
-            cover = []
-            for strand, text in ((Strand.Fwd, arr), (Strand.Rc, rc_arr)):
-                for offset, length, is_first, is_last in chunk_spans(n):
-                    if strand is Strand.Fwd:
-                        cover.append((offset, len(rows_meta)))
-                    long_content.append(text[offset : offset + length])
-                    lo = 0 if is_first else self.halo + 1
-                    hi = length if is_last else L - 1 - PADDING
-                    rows_meta.append(
-                        _Row(strand, ridx, offset, 0, length, is_first, is_last, lo, hi)
-                    )
-            fwd_cover[ridx] = cover
-
-        R_host = len(rows_meta)
-        S = len(simple_reads)
-        R_host_pad = _pow2_at_least(max(R_host, 1), lo=8)
-        S_pad = _pow2_at_least(max(S, 1), lo=8)
+        self.last_dispatch = "single"
+        plan = self._plan_shard(seq_bytes, lens, range(B), L, step)
+        R_host_pad = _pow2_at_least(max(plan.R_host, 1), lo=8)
+        S_pad = _pow2_at_least(max(plan.S, 1), lo=8)
         R_total_pad = R_host_pad + S_pad
 
         # Flat row indexing (gathers, exception scatter) is int32: keep
@@ -329,47 +317,10 @@ class JaxDemuxEngine:
             return self.demux_batch(read_ids[:half], seqs[:half]) + \
                 self.demux_batch(read_ids[half:], seqs[half:])
 
-        with _phase("encode"):
-            host_packed, row_start, exc, pack_mode = self._pack_host_rows(
-                seq_bytes, simple_reads, long_content, R_host_pad, L
-            )
-
-        simple_idx = np.zeros(S_pad, dtype=np.int32)
-        # rc simple rows occupy device rows [R_host_pad, R_host_pad + S)
-        row_of_meta: List[int] = list(range(R_host))
-        for i, ridx in enumerate(simple_reads):
-            simple_idx[i] = fwd_simple_row[ridx]
-            n = int(lens[ridx])
-            tsc = L - n
-            rows_meta.append(_Row(Strand.Rc, ridx, 0, tsc, L, True, True, tsc, L))
-            row_of_meta.append(R_host_pad + i)
-
-        meta = np.zeros((R_total_pad, comp.META_COLS), dtype=np.int32)
-        meta[:, comp.M_HI] = -1
-        row_read = np.full(R_total_pad, -1, dtype=np.int64)
-        for mi, rowm in enumerate(rows_meta):
-            r = row_of_meta[mi]
-            ridx = rowm.read_idx
-            if ridx in fwd_simple_row:
-                fsimple, brow, nch = fwd_simple_row[ridx], 0, 1
-            else:
-                cover = fwd_cover[ridx]
-                fsimple, brow, nch = -1, cover[0][1], len(cover)
-            meta[r] = (
-                rowm.tsc,
-                rowm.tec,
-                int(rowm.true_start),
-                int(rowm.true_end),
-                rowm.lo,
-                rowm.hi,
-                rowm.offset,
-                int(lens[ridx]),
-                int(rowm.strand is Strand.Rc),
-                fsimple,
-                brow,
-                nch,
-            )
-            row_read[r] = ridx
+        (host_packed, row_start, exc, pack_mode, simple_idx, meta,
+         row_read) = self._materialize(
+            plan, seq_bytes, lens, L, R_host_pad, S_pad
+        )
 
         with _phase("pack_upload"):
             host_packed_dev = jnp.asarray(host_packed)
@@ -437,8 +388,317 @@ class JaxDemuxEngine:
 
     # ------------------------------------------------------------------
 
+    def _plan_shard(self, seq_bytes, lens, read_indices, L: int, step: int):
+        """Row plan for one device shard: fwd simple rows first, then
+        fwd+rc chunk rows of long reads.  All row indices are
+        shard-local; read indices stay global."""
+        plan = _ShardPlan()
+        rows_meta: List[_Row] = []
+        simple_reads: List[int] = []
+        fwd_simple_row: Dict[int, int] = {}
+        fwd_cover: Dict[int, List[Tuple[int, int]]] = {}
+        long_content: List[np.ndarray] = []
+
+        # --- simple reads (fit one row; raw bytes, native-encoded) -----
+        for ridx in read_indices:
+            n = int(lens[ridx])
+            if n == 0 or n > L:
+                continue
+            fwd_simple_row[ridx] = len(rows_meta)
+            simple_reads.append(ridx)
+            rows_meta.append(_Row(Strand.Fwd, ridx, 0, 0, n, True, True, 0, n))
+
+        # --- long reads: host-built fwd + rc chunk rows ----------------
+        def chunk_spans(n: int):
+            out = []
+            offset = 0
+            while True:
+                if offset + L >= n:
+                    out.append((offset, n - offset, offset == 0, True))
+                    return out
+                out.append((offset, L, offset == 0, False))
+                offset += step
+
+        long_reads = [r for r in read_indices if lens[r] > L]
+        for ridx in long_reads:
+            with _phase("encode"):
+                arr = dna.encode(seq_bytes[ridx])
+            n = len(arr)
+            rc_arr = dna.reverse_complement_masks(arr)
+            cover = []
+            for strand, text in ((Strand.Fwd, arr), (Strand.Rc, rc_arr)):
+                for offset, length, is_first, is_last in chunk_spans(n):
+                    if strand is Strand.Fwd:
+                        cover.append((offset, len(rows_meta)))
+                    long_content.append(text[offset : offset + length])
+                    lo = 0 if is_first else self.halo + 1
+                    hi = length if is_last else L - 1 - PADDING
+                    rows_meta.append(
+                        _Row(strand, ridx, offset, 0, length, is_first, is_last, lo, hi)
+                    )
+            fwd_cover[ridx] = cover
+
+        plan.rows_meta = rows_meta
+        plan.simple_reads = simple_reads
+        plan.fwd_simple_row = fwd_simple_row
+        plan.fwd_cover = fwd_cover
+        plan.long_content = long_content
+        plan.R_host = len(rows_meta)
+        plan.S = len(simple_reads)
+        return plan
+
+    def _materialize(
+        self, plan, seq_bytes, lens, L: int, R_host_pad: int, S_pad: int,
+        force_nibble: bool = False,
+    ):
+        """-> (host_packed, row_start, exc, pack_mode, simple_idx, meta,
+        row_read) for one shard's plan.  Pure w.r.t. the plan (safe to
+        call twice, e.g. for a nibble re-pack)."""
+        R_total_pad = R_host_pad + S_pad
+        with _phase("encode"):
+            host_packed, row_start, exc, pack_mode = self._pack_host_rows(
+                seq_bytes, plan.simple_reads, plan.long_content, R_host_pad,
+                L, force_nibble=force_nibble,
+            )
+
+        simple_idx = np.zeros(S_pad, dtype=np.int32)
+        # rc simple rows occupy device rows [R_host_pad, R_host_pad + S)
+        rows_meta = list(plan.rows_meta)
+        row_of_meta: List[int] = list(range(plan.R_host))
+        for i, ridx in enumerate(plan.simple_reads):
+            simple_idx[i] = plan.fwd_simple_row[ridx]
+            n = int(lens[ridx])
+            tsc = L - n
+            rows_meta.append(_Row(Strand.Rc, ridx, 0, tsc, L, True, True, tsc, L))
+            row_of_meta.append(R_host_pad + i)
+
+        meta = np.zeros((R_total_pad, comp.META_COLS), dtype=np.int32)
+        meta[:, comp.M_HI] = -1
+        row_read = np.full(R_total_pad, -1, dtype=np.int64)
+        for mi, rowm in enumerate(rows_meta):
+            r = row_of_meta[mi]
+            ridx = rowm.read_idx
+            if ridx in plan.fwd_simple_row:
+                fsimple, brow, nch = plan.fwd_simple_row[ridx], 0, 1
+            else:
+                cover = plan.fwd_cover[ridx]
+                fsimple, brow, nch = -1, cover[0][1], len(cover)
+            meta[r] = (
+                rowm.tsc,
+                rowm.tec,
+                int(rowm.true_start),
+                int(rowm.true_end),
+                rowm.lo,
+                rowm.hi,
+                rowm.offset,
+                int(lens[ridx]),
+                int(rowm.strand is Strand.Rc),
+                fsimple,
+                brow,
+                nch,
+            )
+            row_read[r] = ridx
+        return host_packed, row_start, exc, pack_mode, simple_idx, meta, row_read
+
+    # ------------------------------------------------------------------
+    # Multi-device path: shard the batch's reads over the mesh and run
+    # every group's fused call as one shard_map'd step.
+
+    def _partition_reads(self, lens, L: int, step: int, D: int):
+        """Greedy balanced assignment of whole reads to D shards by row
+        count (a read's chunk rows must share a shard: barcode windows
+        gather from sibling chunk rows).  Deterministic."""
+        B = len(lens)
+        nrows = np.ones(B, dtype=np.int64)
+        for r in range(B):
+            n = int(lens[r])
+            if n > L:
+                nrows[r] = 2 * (1 + -(-(n - L) // step))
+        order = sorted(range(B), key=lambda r: (-nrows[r], r))
+        loads = [0] * D
+        buckets: List[List[int]] = [[] for _ in range(D)]
+        for r in order:
+            d = min(range(D), key=lambda i: (loads[i], i))
+            buckets[d].append(r)
+            loads[d] += int(nrows[r])
+        for b in buckets:
+            b.sort()
+        return buckets
+
+    def _demux_batch_sharded(
+        self, read_ids, seqs, seq_bytes, lens, L: int, step: int
+    ) -> List[List[BarbellMatch]]:
+        jax = self._jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import READS_AXIS
+
+        self.last_dispatch = "sharded"
+        B = len(seqs)
+        D = len(self.devices)
+        buckets = self._partition_reads(lens, L, step, D)
+        plans = [
+            self._plan_shard(seq_bytes, lens, bucket, L, step)
+            for bucket in buckets
+        ]
+        R_host_pad = _pow2_at_least(max(max(p.R_host for p in plans), 1), lo=8)
+        S_pad = _pow2_at_least(max(max(p.S for p in plans), 1), lo=8)
+        R_total_pad = R_host_pad + S_pad
+        if R_total_pad * L >= 2**31:
+            half = B // 2
+            return self.demux_batch(read_ids[:half], seqs[:half]) + \
+                self.demux_batch(read_ids[half:], seqs[half:])
+
+        mats = [
+            self._materialize(p, seq_bytes, lens, L, R_host_pad, S_pad)
+            for p in plans
+        ]
+        # pack_mode is static in the jitted step: one shard falling back
+        # to nibbles re-packs every shard as nibbles.
+        if len({m[3] for m in mats}) > 1:
+            mats = [
+                self._materialize(
+                    p, seq_bytes, lens, L, R_host_pad, S_pad, force_nibble=True
+                )
+                for p in plans
+            ]
+        pack_mode = mats[0][3]
+
+        if pack_mode == 2:
+            # equal-size flat byte buffers per shard
+            t_pad = max(m[0].shape[0] for m in mats)
+            host_packed_g = np.zeros(D * t_pad, dtype=np.uint8)
+            for d, m in enumerate(mats):
+                host_packed_g[d * t_pad : d * t_pad + m[0].shape[0]] = m[0]
+        else:
+            host_packed_g = np.concatenate([m[0] for m in mats], axis=0)
+        row_start_g = np.concatenate([m[1] for m in mats])
+        exc_g = np.concatenate([m[2] for m in mats], axis=0)
+        simple_idx_g = np.concatenate([m[4] for m in mats])
+        metas = [m[5] for m in mats]
+        row_reads = [m[6] for m in mats]
+        meta_g = np.concatenate(metas, axis=0)
+
+        with _phase("pack_upload"):
+
+            def put(arr):
+                spec = P(READS_AXIS, *([None] * (arr.ndim - 1)))
+                return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+            host_packed_dev = put(host_packed_g)
+            simple_idx_dev = put(simple_idx_g)
+            meta_dev = put(meta_g)
+            exc_dev = put(exc_g)
+            row_start_dev = put(row_start_g)
+
+        results: List[List[BarbellMatch]] = [[] for _ in seqs]
+        overflow_reads: set = set()
+        H_cap = R_total_pad
+
+        pending = []
+        for gplan in self.plans:
+            with _phase("demux_call.dispatch"):
+                out_dev = self._dispatch_group_sharded(
+                    gplan, host_packed_dev, simple_idx_dev, meta_dev,
+                    exc_dev, row_start_dev, pack_mode, L, step, H_cap
+                )
+            pending.append((gplan, out_dev))
+
+        for gplan, out_dev in pending:
+            with _phase("demux_call.fetch"):
+                out_np = np.asarray(out_dev)
+            cap = H_cap
+            per_shard = cap * comp.REC_COLS + R_total_pad + 1
+            totals = [int(out_np[(d + 1) * per_shard - 1]) for d in range(D)]
+            if max(totals) > cap:
+                cap = _pow2_at_least(max(totals), lo=4 * H_cap)
+                out_np = np.asarray(
+                    self._dispatch_group_sharded(
+                        gplan, host_packed_dev, simple_idx_dev, meta_dev,
+                        exc_dev, row_start_dev, pack_mode, L, step, cap
+                    )
+                )
+                per_shard = cap * comp.REC_COLS + R_total_pad + 1
+                totals = [
+                    int(out_np[(d + 1) * per_shard - 1]) for d in range(D)
+                ]
+                if max(totals) > cap:
+                    overflow_reads.update(range(B))
+                    continue
+            for d in range(D):
+                o = out_np[d * per_shard : (d + 1) * per_shard]
+                rec = o[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
+                counts = o[cap * comp.REC_COLS : cap * comp.REC_COLS + R_total_pad]
+                for r in np.nonzero(counts > self.K)[0]:
+                    if row_reads[d][r] >= 0:
+                        overflow_reads.add(int(row_reads[d][r]))
+                with _phase("assemble.host"):
+                    self._assemble(
+                        gplan, rec, row_reads[d], metas[d], lens,
+                        overflow_reads, results, read_ids
+                    )
+
+        for ridx in overflow_reads:
+            results[ridx] = self._scalar_fallback().demux(read_ids[ridx], seqs[ridx])
+
+        out = []
+        for ridx in range(B):
+            if ridx in overflow_reads:
+                out.append(results[ridx])
+            else:
+                out.append(
+                    collapse_overlapping_matches(results[ridx], COLLAPSE_OVERLAP)
+                )
+        return out
+
+    def _dispatch_group_sharded(
+        self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
+        exc_dev, row_start_dev, pack_mode: int, L: int, step: int, H_cap: int,
+    ):
+        gi_dev, gf_dev = self._group_scalars(gplan, step)
+        statics = dict(
+            K=self.K,
+            m=gplan.m,
+            k_units=gplan.k_units,
+            W_words=gplan.W_words,
+            top_bit=gplan.top_bit,
+            Wf=gplan.span,
+            plen=gplan.plen,
+            Wb=gplan.barcode_window,
+            P=gplan.n_patterns,
+            H_cap=H_cap,
+            padding=PADDING,
+            use_pallas=self.use_pallas,
+            interpret=self._on_cpu,
+            pack_mode=pack_mode,
+            L_rows=L,
+        )
+        key = tuple(sorted(statics.items()))
+        sstep = self._sharded_steps.get(key)
+        if sstep is None:
+            from ..parallel.mesh import sharded_demux_step
+
+            sstep = sharded_demux_step(self.mesh, **statics)
+            self._sharded_steps[key] = sstep
+        out, _global_hits = sstep(
+            gplan.flank_dev,
+            gplan.patw_dev,
+            gplan.patterns_all_dev,
+            host_packed_dev,
+            simple_idx_dev,
+            meta_dev,
+            gi_dev,
+            gf_dev,
+            exc_dev,
+            row_start_dev,
+        )
+        return out
+
+    # ------------------------------------------------------------------
+
     def _pack_host_rows(
-        self, seq_bytes, simple_reads, long_content, R_host_pad: int, L: int
+        self, seq_bytes, simple_reads, long_content, R_host_pad: int, L: int,
+        force_nibble: bool = False,
     ):
         """-> (packed, row_start, exceptions, pack_mode).
 
@@ -456,7 +716,7 @@ class JaxDemuxEngine:
 
         S = len(simple_reads)
         lib = get_lib()
-        if lib is not None:
+        if lib is not None and not force_nibble:
             nb = np.zeros(R_host_pad, dtype=np.int64)
             for i, r in enumerate(simple_reads):
                 nb[i] = (len(seq_bytes[r]) + 3) // 4
@@ -563,10 +823,7 @@ class JaxDemuxEngine:
             0,
         )
 
-    def _dispatch_group(
-        self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
-        exc_dev, row_start_dev, pack_mode: int, L: int, step: int, H_cap: int,
-    ):
+    def _group_scalars(self, gplan: _GroupPlan, step: int):
         jnp = self._jnp
         cache = gplan._scalars_dev
         key = int(step)
@@ -593,7 +850,13 @@ class JaxDemuxEngine:
                     )
                 ),
             )
-        gi_dev, gf_dev = cache[key]
+        return cache[key]
+
+    def _dispatch_group(
+        self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
+        exc_dev, row_start_dev, pack_mode: int, L: int, step: int, H_cap: int,
+    ):
+        gi_dev, gf_dev = self._group_scalars(gplan, step)
         return comp.demux_call(
             gplan.flank_dev,
             gplan.patw_dev,

@@ -29,11 +29,16 @@ def _shard_map(fn, mesh, in_specs, out_specs):
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map  # type: ignore
 
-    try:
-        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                         check_rep=False)
-    except TypeError:  # check_rep removed/renamed
-        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    # Replication/varying-mesh-axes checking must be off: pallas_call
+    # inside shard_map cannot express vma types.  The kwarg was renamed
+    # check_rep -> check_vma across jax versions.
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, **kw)
+        except TypeError:
+            continue
+    raise RuntimeError("no compatible shard_map signature")
 
 
 def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
@@ -86,12 +91,16 @@ def sharded_demux_step(mesh: Mesh, **statics):
 
     Each chip runs :func:`barbell_tpu.ops.composite.demux_call` on its
     local row block (row indices inside ``meta`` / ``simple_idx`` are
-    shard-local); query tensors and group scalars are replicated.  The
-    packed per-hit records stay sharded with their rows; the only
-    collective is a ``psum`` of the per-shard hit counters.  ``statics``
-    are demux_call's static kwargs (K, m, k_units, W_words, top_bit,
-    Wf, plen, Wb, P, H_cap, padding, use_pallas, interpret) — H_cap is
-    the per-shard lane capacity.
+    shard-local, and the exception list is likewise per-shard with
+    shard-local flat positions); query tensors and group scalars are
+    replicated.  The packed per-hit records stay sharded with their
+    rows; the only collective is a ``psum`` of the per-shard hit
+    counters.  ``statics`` are demux_call's static kwargs (K, m,
+    k_units, W_words, top_bit, Wf, plen, Wb, P, H_cap, padding,
+    use_pallas, interpret, pack_mode, L_rows) — H_cap is the per-shard
+    lane capacity.  ``host_packed`` is the row matrix for pack modes
+    0/1 and the flat concatenated byte buffer (equal length per shard)
+    for pack mode 2.
     """
     from ..ops import composite as comp
 
@@ -104,6 +113,10 @@ def sharded_demux_step(mesh: Mesh, **statics):
         global_hits = jax.lax.psum(out[-1], READS_AXIS)
         return out, global_hits
 
+    packed_spec = (
+        P(READS_AXIS) if statics.get("pack_mode", 0) == 2
+        else P(READS_AXIS, None)
+    )
     mapped = _shard_map(
         local_step,
         mesh,
@@ -111,12 +124,12 @@ def sharded_demux_step(mesh: Mesh, **statics):
             P(None),
             P(None, None),
             P(None, None),
-            P(READS_AXIS, None),
+            packed_spec,
             P(READS_AXIS),
             P(READS_AXIS, None),
             P(None),
             P(None),
-            P(None),
+            P(READS_AXIS, None),
             P(READS_AXIS),
         ),
         out_specs=(P(READS_AXIS), P()),

@@ -367,7 +367,8 @@ def test_engine_pallas_path_matches_oracle():
     scalar = Demuxer(alpha=0.4)
     for g in groups:
         scalar.add_query_group(g)
-    engine = JaxDemuxEngine(groups, alpha=0.4, use_pallas=True)
+    engine = JaxDemuxEngine(groups, alpha=0.4, use_pallas=True,
+                        devices=jax.devices()[:1])
 
     reads = []
     for i in range(6):
@@ -554,7 +555,8 @@ def test_engine_pallas_split_rank_matches_oracle():
     scalar = Demuxer(alpha=0.4)
     for g in groups:
         scalar.add_query_group(g)
-    engine = JaxDemuxEngine(groups, alpha=0.4, use_pallas=True)
+    engine = JaxDemuxEngine(groups, alpha=0.4, use_pallas=True,
+                        devices=jax.devices()[:1])
 
     reads = []
     for i in range(80):  # R_total_pad = 128 + 128 -> split-eligible

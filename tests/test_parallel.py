@@ -132,13 +132,15 @@ def test_sharded_demux_step_matches_single_device():
         np.concatenate(sidxs, axis=0),
     )
     step = sharded_demux_step(mesh, **statics)
-    exc_dummy = jnp.zeros(1, dtype=jnp.int32)
-    rs_dummy = jnp.zeros(D * R_pad, dtype=jnp.int32)
-    rs_s = shard_rows(mesh, np.zeros(D * R_pad, dtype=np.int32))[0]
+    exc_dummy = jnp.zeros((1, 2), dtype=jnp.int32)
+    rs_s, exc_s = shard_rows(
+        mesh, np.zeros(D * R_pad, dtype=np.int32),
+        np.zeros((D, 2), dtype=np.int32),
+    )
     out, global_hits = step(
         jnp.asarray(plan.flank), jnp.asarray(plan.patw),
         jnp.asarray(plan.patterns_all), packed_s, sidx_s, meta_s,
-        jnp.asarray(gi), jnp.asarray(gf), exc_dummy, rs_s,
+        jnp.asarray(gi), jnp.asarray(gf), exc_s, rs_s,
     )
     out = np.asarray(out)
     per_shard = (R_pad + S_pad) * comp.REC_COLS + (R_pad + S_pad) + 1
@@ -158,3 +160,111 @@ def test_sharded_demux_step_matches_single_device():
         assert np.array_equal(got, want), d
         total += int(want[-1])
     assert int(global_hits) == total == B
+
+
+def _mk_reads(n_bars, n_reads, seed, long_at=(), iupac_at=()):
+    import random
+
+    from barbell_tpu.sim.simulate import (
+        default_barcodes,
+        mutate_sequence,
+        rapid_adapter,
+        random_sequence,
+    )
+    from barbell_tpu.utils import dna
+
+    rng = random.Random(seed)
+    bars = default_barcodes(n_bars)
+    ids, seqs = [], []
+    for i in range(n_reads):
+        _label, bseq = bars[rng.randrange(n_bars)]
+        n = 4000 if i in long_at else rng.randrange(250, 1200)
+        seq = rapid_adapter(bseq) + bytes(random_sequence(rng, n))
+        if i in iupac_at:
+            seq = seq[:40] + b"NNRYK" + seq[45:]
+        if rng.random() < 0.5:
+            seq = dna.reverse_complement_bytes(seq)
+        seq = mutate_sequence(rng, seq, 0, 5)
+        ids.append(f"r{i}")
+        seqs.append(seq)
+    return ids, seqs
+
+
+def test_engine_sharded_matches_single_device():
+    """PRODUCTION engine on the 8-device mesh must emit row-identical
+    BarbellMatch lists to the single-device engine — through the
+    engine's own planning/packing, including chunked long reads and the
+    IUPAC exception-list path."""
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+
+    def groups():
+        gs = BarcodeGroup.from_kit("SQK-RBK114-24")
+        for g in gs:
+            g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+        return gs
+
+    ids, seqs = _mk_reads(24, 19, seed=21, long_at=(4, 11), iupac_at=(2, 4))
+
+    e8 = JaxDemuxEngine(groups(), max_row_len=2048)
+    e1 = JaxDemuxEngine(groups(), max_row_len=2048, devices=jax.devices()[:1])
+    assert e8.mesh is not None and e1.mesh is None
+    out8 = e8.demux_batch(ids, seqs)
+    assert e8.last_dispatch == "sharded"
+    out1 = e1.demux_batch(ids, seqs)
+    assert e1.last_dispatch == "single"
+    assert out8 == out1
+
+
+def test_engine_sharded_nibble_fallback_matches():
+    """A shard overflowing the exception cap forces every shard to the
+    nibble pack mode; results must not change."""
+    from barbell_tpu.models import pipeline as pl
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+
+    def groups():
+        gs = BarcodeGroup.from_kit("SQK-RBK114-24")
+        for g in gs:
+            g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+        return gs
+
+    ids, seqs = _mk_reads(24, 9, seed=5)
+    # one read with more Ns than _EXC_CAP on its shard forces nibbles
+    seqs[3] = seqs[3][:100] + b"N" * (pl._EXC_CAP + 8) + seqs[3][100:]
+
+    e8 = JaxDemuxEngine(groups())
+    e1 = JaxDemuxEngine(groups(), devices=jax.devices()[:1])
+    assert e8.demux_batch(ids, seqs) == e1.demux_batch(ids, seqs)
+
+
+def test_engine_sharded_pallas_matches_single_device():
+    """Mesh + pallas (interpret on CPU): the sharded engine must stay
+    row-identical with the Pallas kernel path enabled — the production
+    configuration of a multi-chip TPU host.  Tiny shapes: interpret
+    kernels run per shard."""
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+
+    def groups():
+        gs = BarcodeGroup.from_kit("SQK-RBK114-24")
+        for g in gs:
+            g.barcodes = g.barcodes[:4]
+            g.patterns_fwd = g.patterns_fwd[:4]
+            g.patterns_rc = g.patterns_rc[:4]
+            g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+        return gs
+
+    ids, seqs = _mk_reads(4, 8, seed=31)
+    seqs = [s[:300] for s in seqs]
+
+    e8 = JaxDemuxEngine(groups(), max_row_len=512, use_pallas=True)
+    e1 = JaxDemuxEngine(
+        groups(), max_row_len=512, use_pallas=True, devices=jax.devices()[:1]
+    )
+    out8 = e8.demux_batch(ids, seqs)
+    assert e8.last_dispatch == "sharded"
+    assert out8 == e1.demux_batch(ids, seqs)
