@@ -28,6 +28,7 @@ def _build() -> bool:
         "-march=native",
         "-shared",
         "-fPIC",
+        "-pthread",
         "-std=c++17",
         _SRC,
         "-o",
@@ -112,6 +113,34 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p,  # out [n, L/4]
             ctypes.POINTER(ctypes.c_int),  # exceptions out
             ctypes.c_long,  # exception capacity
+        ]
+        lib.bbio_myers_valleys.restype = ctypes.c_long
+        lib.bbio_myers_valleys.argtypes = [
+            ctypes.c_char_p,  # raw text bytes
+            ctypes.c_int,  # n
+            ctypes.c_char_p,  # 256-entry byte -> mask LUT
+            ctypes.c_char_p,  # pattern masks
+            ctypes.c_int,  # m
+            ctypes.c_int,  # k
+            ctypes.POINTER(ctypes.c_int),  # valley positions out
+            ctypes.c_int,  # capacity
+        ]
+        lib.bbio_myers_anchor.restype = ctypes.c_long
+        lib.bbio_myers_anchor.argtypes = [
+            ctypes.c_char_p,  # concatenated raw seq bytes
+            ctypes.POINTER(ctypes.c_long),  # per-read offsets
+            ctypes.POINTER(ctypes.c_int),  # per-read lengths
+            ctypes.c_int,  # n reads
+            ctypes.c_char_p,  # 256-entry byte -> mask LUT
+            ctypes.c_char_p,  # flank masks
+            ctypes.c_int,  # m_flank
+            ctypes.c_int,  # k_flank
+            ctypes.c_char_p,  # barcode masks [n_bars, m_bar]
+            ctypes.c_int,  # n_bars
+            ctypes.c_int,  # m_bar
+            ctypes.c_int,  # k_bar
+            ctypes.c_int,  # window
+            ctypes.c_int,  # n_threads
         ]
         lib.bbio_encode_pack_rows.restype = None
         lib.bbio_encode_pack_rows.argtypes = [

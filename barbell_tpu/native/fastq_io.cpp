@@ -22,10 +22,12 @@
 //                             const char* qual, long qlen);
 //     int   bbio_writer_close(void* w);
 
+#include <climits>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -246,6 +248,166 @@ long bbio_encode_pack2_cat(const unsigned char* seqs, const long* offs,
         }
     }
     return n_exc;
+}
+
+// ---- CPU benchmark anchor: scalar bit-parallel Myers cost proxy -----
+//
+// Approximates the reference's per-read compute (whole-read flank scan
+// on both strands + per-valley multi-barcode window scans,
+// `src/annotate/searcher.rs:430-490`) with the same algorithm class —
+// Hyyrö/Myers bit-parallel edit distance over IUPAC match masks — so
+// bench.py's vs_baseline denominator is MEASURED on this host at the
+// reference's default 10 threads rather than invented.  Not wired into
+// any production path.
+
+namespace {
+
+struct PeqW {
+    unsigned long long w[16];  // per 4-bit text mask
+};
+
+void build_peq(const unsigned char* pat, int m, int nw, PeqW* peq) {
+    for (int wi = 0; wi < nw; wi++)
+        for (int tm = 0; tm < 16; tm++) peq[wi].w[tm] = 0;
+    for (int i = 0; i < m; i++) {
+        unsigned pm = pat[i] & 0xF;
+        for (int tm = 1; tm < 16; tm++)
+            if (pm & tm) peq[i >> 6].w[tm] |= 1ULL << (i & 63);
+    }
+}
+
+// Semi-global (free text prefix/suffix) Myers search; per position j
+// the running score is the best edit distance of the pattern vs any
+// text substring ending at j.  Returns the number of k-thresholded
+// valleys; valleys[] (optional, cap n) receives their end positions.
+int myers_scan(const unsigned char* tmask, int n, const PeqW* peq, int m,
+               int k, int* valleys, int valleys_cap) {
+    const int nw = (m + 63) >> 6;
+    unsigned long long Pv[4], Mv[4];
+    for (int b = 0; b < nw; b++) {
+        Pv[b] = ~0ULL;
+        Mv[b] = 0;
+    }
+    const int top_b = (m - 1) >> 6;
+    const unsigned long long top = 1ULL << ((m - 1) & 63);
+    int score = m;
+    int prev2 = INT_MAX, prev = INT_MAX, prev_j = -1;
+    int n_valleys = 0;
+    for (int j = 0; j < n; j++) {
+        const unsigned tm = tmask[j] & 0xF;
+        unsigned long long add_c = 0, hp_c = 0, hn_c = 0;
+        for (int b = 0; b < nw; b++) {
+            const unsigned long long Eq = peq[b].w[tm];
+            const unsigned long long X = Eq | Mv[b];
+            const unsigned long long XP = X & Pv[b];
+            unsigned long long s1 = XP + Pv[b];
+            unsigned long long c1 = s1 < XP;
+            unsigned long long sum = s1 + add_c;
+            add_c = c1 | (sum < s1);
+            const unsigned long long D0 = (sum ^ Pv[b]) | X;
+            const unsigned long long HP = Mv[b] | ~(D0 | Pv[b]);
+            const unsigned long long HN = Pv[b] & D0;
+            if (b == top_b) {
+                if (HP & top) score++;
+                else if (HN & top) score--;
+            }
+            const unsigned long long HPs = (HP << 1) | hp_c;
+            const unsigned long long HNs = (HN << 1) | hn_c;
+            hp_c = HP >> 63;
+            hn_c = HN >> 63;
+            Pv[b] = HNs | ~(D0 | HPs);
+            Mv[b] = HPs & D0;
+        }
+        // valley = local minimum of the score track, <= k
+        if (prev <= k && prev <= prev2 && prev < score) {
+            if (valleys && n_valleys < valleys_cap) valleys[n_valleys] = prev_j;
+            n_valleys++;
+        }
+        prev2 = prev;
+        prev = score;
+        prev_j = j;
+    }
+    if (prev <= k && prev <= prev2) {
+        if (valleys && n_valleys < valleys_cap) valleys[n_valleys] = prev_j;
+        n_valleys++;
+    }
+    return n_valleys;
+}
+
+constexpr int kRcMask[16] = {0, 8, 4, 12, 2, 10, 6, 14,
+                             1, 9, 5, 13, 3, 11, 7, 15};
+
+}  // namespace
+
+// Runs the demux cost proxy over n_reads with n_threads (read-striped):
+// flank Myers over fwd + rc masks, then per flank valley a scan of all
+// n_bars barcode patterns over a (win + pad) window around the valley.
+// Returns the total number of flank valleys found (sanity signal and
+// dead-code-elimination guard).
+long bbio_myers_anchor(const unsigned char* seqs, const long* offs,
+                       const int* lens, int n_reads,
+                       const unsigned char* lutm, const unsigned char* flank,
+                       int m_flank, int k_flank, const unsigned char* bars,
+                       int n_bars, int m_bar, int k_bar, int win,
+                       int n_threads) {
+    std::vector<PeqW> flank_peq((m_flank + 63) / 64);
+    build_peq(flank, m_flank, (int)flank_peq.size(), flank_peq.data());
+    std::vector<PeqW> bar_peq((size_t)n_bars);
+    for (int p = 0; p < n_bars; p++)
+        build_peq(bars + (long)p * m_bar, m_bar, 1, &bar_peq[p]);
+
+    std::vector<long> found((size_t)n_threads, 0);
+    auto work = [&](int t) {
+        std::vector<unsigned char> fwd, rc;
+        std::vector<int> valleys(64);
+        long local = 0;
+        for (int i = t; i < n_reads; i += n_threads) {
+            const unsigned char* s = seqs + offs[i];
+            const int n = lens[i];
+            if (n == 0) continue;
+            fwd.resize(n);
+            rc.resize(n);
+            for (int j = 0; j < n; j++) fwd[j] = lutm[s[j]] & 0xF;
+            for (int j = 0; j < n; j++) rc[j] = kRcMask[fwd[n - 1 - j]];
+            for (const auto* text : {&fwd, &rc}) {
+                int nv = myers_scan(text->data(), n, flank_peq.data(),
+                                    m_flank, k_flank, valleys.data(),
+                                    (int)valleys.size());
+                local += nv;
+                const int shown = nv < (int)valleys.size()
+                                      ? nv
+                                      : (int)valleys.size();
+                for (int v = 0; v < shown; v++) {
+                    int start = valleys[v] - win;
+                    if (start < 0) start = 0;
+                    int wlen = win + 2 * 10;
+                    if (start + wlen > n) wlen = n - start;
+                    if (wlen <= 0) continue;
+                    for (int p = 0; p < n_bars; p++)
+                        myers_scan(text->data() + start, wlen, &bar_peq[p],
+                                   m_bar, k_bar, nullptr, 0);
+                }
+            }
+        }
+        found[t] = local;
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+    long total = 0;
+    for (long f : found) total += f;
+    return total;
+}
+
+// Single-text valley scan (conformance tests for the anchor's Myers).
+long bbio_myers_valleys(const unsigned char* text, int n,
+                        const unsigned char* lutm, const unsigned char* pat,
+                        int m, int k, int* out_valleys, int cap) {
+    std::vector<unsigned char> tm((size_t)(n > 0 ? n : 1));
+    for (int j = 0; j < n; j++) tm[j] = lutm[text[j]] & 0xF;
+    std::vector<PeqW> peq((m + 63) / 64);
+    build_peq(pat, m, (int)peq.size(), peq.data());
+    return myers_scan(tm.data(), n, peq.data(), m, k, out_valleys, cap);
 }
 
 void* bbio_reader_open(const char** paths, int n) {

@@ -1,16 +1,31 @@
-"""Benchmark: SQK-RBK114-96 demux throughput (reads/sec/chip).
+"""Benchmark: kit demux throughput (reads/sec/chip) on real TPU.
 
-Generates synthetic rapid-kit reads (600-4000bp, up to 6 edits, 50%
-reverse-complemented — the reference benchmark harness's GroupII class)
-and measures the end-to-end annotate path (encode -> device pipeline ->
-BarbellMatch rows) on the available chip.
+Configs (env BENCH_CONFIG):
+  rbk114_96           SQK-RBK114-96 rapid-kit reads (default; the
+                      BASELINE primary metric)
+  nbd114_96           SQK-NBD114-96 native-barcode reads (constructs at
+                      BOTH ends -> ~2x hits/read)
+  rbk114_96_extended  RBK114-96 with --use-extended (fusion template
+                      as an extra group; reference README.md:145-146
+                      reports ~3x slowdown for this mode on CPU)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no absolute throughput numbers (BASELINE.md),
-so vs_baseline is measured against REFERENCE_CPU_READS_PER_SEC, a
-nominal reads/s figure for the reference's default 10-thread CPU
-configuration on this read mix (order-of-magnitude anchor, documented
-in BASELINE.md as "still very fast" with no number).
+Reads are synthetic (600-4000bp, up to 6 edits, 50% reverse-complement
+— the reference benchmark harness's GroupII class) and the measured
+path is end-to-end annotate (encode -> device pipeline -> BarbellMatch
+rows).  Per CLAUDE.md the shared chip varies +/-20%, so the reported
+value is the MEDIAN of BENCH_REPEAT (default 3) passes on fresh data;
+every pass's time and accuracy goes to stderr.
+
+vs_baseline denominator: MEASURED on this host, not invented.  The
+native extension runs a scalar bit-parallel Myers demux-cost proxy
+(same algorithm class as the reference's sassy engine: whole-read
+IUPAC flank scan on both strands + per-valley 96-barcode window scans)
+over the same reads at the reference's default 10 threads
+(bbio_myers_anchor).  That scalar figure is multiplied by
+SIMD_FACTOR=4 (AVX2 processes 256-bit lanes vs our 64-bit words) to
+estimate the reference's vectorized throughput on this host — a
+deliberately generous allowance documented in BASELINE.md.  Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -22,21 +37,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-REFERENCE_CPU_READS_PER_SEC = 20_000.0  # nominal anchor; no published number
+SIMD_FACTOR = 4.0  # AVX2 (256-bit) vs scalar 64-bit Myers words
+ANCHOR_THREADS = 10  # the reference CLI's default -t
+FALLBACK_ANCHOR = 20_000.0  # only if the native extension is missing
 
+CONFIG = os.environ.get("BENCH_CONFIG", "rbk114_96")
 N_READS = int(os.environ.get("BENCH_READS", "16384"))
 BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))
 
 
-def make_reads(n, seed=0):
+def make_reads_rbk(n, seed=0):
     import random
 
     from barbell_tpu.sim.simulate import (
+        default_barcodes,
         mutate_sequence,
         rapid_adapter,
         random_sequence,
     )
-    from barbell_tpu.sim.simulate import default_barcodes
     from barbell_tpu.utils import dna
 
     rng = random.Random(seed)
@@ -53,29 +72,121 @@ def make_reads(n, seed=0):
     return reads
 
 
+def make_reads_nbd(n, seed=0):
+    import random
+
+    from barbell_tpu.kits.database import NB_1ST_FRONT, NB_1ST_REAR, NB_SEQS
+    from barbell_tpu.sim.simulate import mutate_sequence, random_sequence
+    from barbell_tpu.utils import dna
+
+    rng = random.Random(seed)
+    reads = []
+    for i in range(n):
+        bc = rng.randrange(96)
+        construct = (NB_1ST_FRONT + NB_SEQS[bc] + NB_1ST_REAR).encode()
+        body = bytes(random_sequence(rng, rng.randrange(600, 4000)))
+        seq = construct + body + dna.reverse_complement_bytes(construct)
+        if rng.random() < 0.5:
+            seq = dna.reverse_complement_bytes(seq)
+        seq = mutate_sequence(rng, seq, 0, 6)
+        reads.append((f"seq_{i}", seq, f"NB{bc + 1:02d}"))
+    return reads
+
+
+CONFIGS = {
+    "rbk114_96": dict(
+        kit="SQK-RBK114-96", make=make_reads_rbk, extended=False,
+        metric="rbk114_96_demux_reads_per_sec_per_chip",
+    ),
+    "nbd114_96": dict(
+        kit="SQK-NBD114-96", make=make_reads_nbd, extended=False,
+        metric="nbd114_96_demux_reads_per_sec_per_chip",
+    ),
+    "rbk114_96_extended": dict(
+        kit="SQK-RBK114-96", make=make_reads_rbk, extended=True,
+        metric="rbk114_96_extended_demux_reads_per_sec_per_chip",
+    ),
+}
+
+
+def measure_cpu_anchor(groups, reads, n_threads=ANCHOR_THREADS):
+    """Measured reads/s of the scalar CPU Myers demux-cost proxy on this
+    host (per-group whole-read flank scan, both strands, + per-valley
+    barcode window scans), at the reference's default thread count.
+    Returns (reads_per_sec, total_valleys) or None if unavailable."""
+    import ctypes
+
+    from barbell_tpu.models.demux import BARCODE_K_FRAC
+    from barbell_tpu.native import get_lib
+    from barbell_tpu.utils import dna
+
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    seqs = [r[1] for r in reads]
+    blob = b"".join(seqs)
+    n = len(seqs)
+    offs = np.zeros(n, dtype=np.int64)
+    ls = np.zeros(n, dtype=np.int32)
+    pos = 0
+    for i, s in enumerate(seqs):
+        offs[i] = pos
+        ls[i] = len(s)
+        pos += len(s)
+
+    lutm = dna.ENCODE_LUT.tobytes()
+    t0 = time.perf_counter()
+    total = 0
+    for g in groups:
+        flank = (np.asarray(g.flank_masks, dtype=np.uint8) & 0xF).tobytes()
+        pats = np.asarray(g.patterns_fwd, dtype=np.uint8) & 0xF
+        p_count, plen = pats.shape
+        k_flank = int(g.k_cutoff)
+        k_bar = int(plen * BARCODE_K_FRAC)
+        win = plen + k_flank
+        total += lib.bbio_myers_anchor(
+            blob,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n,
+            lutm,
+            flank,
+            len(g.flank_masks),
+            k_flank,
+            pats.tobytes(),
+            p_count,
+            plen,
+            k_bar,
+            win,
+            n_threads,
+        )
+    dt = time.perf_counter() - t0
+    return n / dt, total
+
+
 def main():
+    cfg = CONFIGS[CONFIG]
     from barbell_tpu.models.barcodes import BarcodeGroup
-    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.models.pipeline import JaxDemuxEngine, engine_map_batches
     from barbell_tpu.models.records import BarcodeType
     from barbell_tpu.ops.edit_model import get_edit_cut_off
 
-    groups = BarcodeGroup.from_kit("SQK-RBK114-96")
+    groups = BarcodeGroup.from_kit(cfg["kit"], cfg["extended"])
     for g in groups:
         g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
     engine = JaxDemuxEngine(groups)
 
-    from barbell_tpu.models.pipeline import engine_map_batches
-
-    warm = make_reads(BATCH, seed=99)
+    make = cfg["make"]
+    warm = make(BATCH, seed=99)
     engine.demux_batch([r[0] for r in warm], [r[1] for r in warm])
 
-    # The shared chip's throughput varies +/-20% minute to minute; run
-    # the timed loop on BENCH_REPEAT fresh datasets (fresh per pass —
-    # the remote runtime caches results for repeated identical inputs)
-    # and report the best pass.  Accuracy is scored on every pass.
-    best_dt = None
-    for rep in range(int(os.environ.get("BENCH_REPEAT", "2"))):
-        reads = make_reads(N_READS, seed=rep)
+    # The shared chip's throughput varies +/-20% minute to minute: time
+    # REPEAT fresh datasets (fresh per pass — the remote runtime caches
+    # results for repeated identical inputs) and report the MEDIAN.
+    pass_times = []
+    for rep in range(REPEAT):
+        reads = make(N_READS, seed=rep)
         ids = [r[0] for r in reads]
         seqs = [r[1] for r in reads]
         truth = {r[0]: r[2] for r in reads}
@@ -99,30 +210,50 @@ def main():
                         correct += 1
         dt = time.perf_counter() - t0
         print(
-            f"# pass {rep}: {n_done} reads in {dt:.2f}s; "
+            f"# pass {rep}: {n_done} reads in {dt:.2f}s "
+            f"({n_done / dt:.0f} reads/s); "
             f"assigned {assigned / max(1, n_done):.3f}, "
             f"correct {correct / max(1, n_done):.3f}",
             file=sys.stderr,
         )
         assert correct == n_done or correct / max(1, n_done) > 0.99, "accuracy regression"
-        if best_dt is None or dt < best_dt:
-            best_dt = dt
-    dt = best_dt
+        pass_times.append(dt)
+
+    dt = float(np.median(pass_times))
     rps = n_done / dt
+
+    anchor = measure_cpu_anchor(groups, make(min(N_READS, 4096), seed=1234))
+    if anchor is not None:
+        anchor_rps, valleys = anchor
+        baseline = anchor_rps * SIMD_FACTOR
+        print(
+            f"# cpu anchor: scalar Myers proxy {anchor_rps:.0f} reads/s "
+            f"@ {ANCHOR_THREADS} threads ({valleys} valleys); "
+            f"x{SIMD_FACTOR:.0f} SIMD allowance -> baseline "
+            f"{baseline:.0f} reads/s (measured, see BASELINE.md)",
+            file=sys.stderr,
+        )
+    else:
+        baseline = FALLBACK_ANCHOR
+        print(
+            "# cpu anchor unavailable (no native extension); "
+            f"using nominal {baseline:.0f} reads/s",
+            file=sys.stderr,
+        )
 
     acc = correct / max(1, n_done)
     print(
-        f"# {n_done} reads in {dt:.2f}s; assigned {assigned / max(1, n_done):.3f}, "
-        f"correct {acc:.3f}",
+        f"# median of {REPEAT}: {n_done} reads in {dt:.2f}s; "
+        f"assigned {assigned / max(1, n_done):.3f}, correct {acc:.3f}",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "rbk114_96_demux_reads_per_sec_per_chip",
+                "metric": cfg["metric"],
                 "value": round(rps, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(rps / REFERENCE_CPU_READS_PER_SEC, 3),
+                "vs_baseline": round(rps / baseline, 3),
             }
         )
     )

@@ -208,3 +208,79 @@ def test_native_pack2_cat_exceptions_past_row_16384():
     assert int(exc[0, 0]) == 16384 * L + 2  # exact, positive, no wrap
     assert int(exc[0, 1]) == 0xF  # N mask
     assert exc[0, 0] > 2**27  # the range the old form could not encode
+
+
+def test_native_myers_valleys_match_dp():
+    """The CPU-anchor's bit-parallel Myers must produce the exact
+    semi-global score track (checked via its k-valleys) of a reference
+    O(mn) DP, including multi-word patterns (m > 64) and IUPAC masks."""
+    import ctypes
+    import random
+
+    import numpy as np
+    import pytest
+
+    from barbell_tpu.native import get_lib
+    from barbell_tpu.utils import dna
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native extension unavailable")
+
+    def dp_valleys(pattern, text, k):
+        pm = dna.encode(pattern) & 0xF
+        tm = dna.encode(text) & 0xF
+        m, n = len(pm), len(tm)
+        prev = np.arange(m + 1)
+        track = []
+        for j in range(n):
+            cur = np.empty(m + 1, dtype=np.int64)
+            cur[0] = 0
+            sub = np.where((pm & tm[j]) != 0, 0, 1)
+            for i in range(1, m + 1):
+                cur[i] = min(prev[i - 1] + sub[i - 1], prev[i] + 1, cur[i - 1] + 1)
+            track.append(int(cur[m]))
+            prev = cur
+        # mirror the C scan's valley rule exactly: valley at prev_j when
+        # prev <= k and prev <= prev2 and prev < score
+        out = []
+        prev2, prev1 = 10**9, 10**9
+        for j, s in enumerate(track):
+            if prev1 <= k and prev1 <= prev2 and prev1 < s:
+                out.append(j - 1)
+            prev2, prev1 = prev1, s
+        if prev1 <= k and prev1 <= prev2:
+            out.append(n - 1)
+        return out
+
+    rng = random.Random(13)
+    cases = []
+    for m, n in [(7, 40), (24, 80), (44, 120), (90, 200), (130, 260)]:
+        pat = bytes(rng.choice(b"ACGT") for _ in range(m))
+        txt = bytearray(rng.choice(b"ACGT") for _ in range(n))
+        # plant a noisy copy of the pattern
+        ins = bytearray(pat)
+        for _ in range(max(1, m // 10)):
+            ins[rng.randrange(len(ins))] = rng.choice(b"ACGT")
+        pos = rng.randrange(0, n - len(ins))
+        txt[pos : pos + len(ins)] = ins
+        txt[5] = ord("N")
+        cases.append((pat, bytes(txt), max(2, int(0.3 * m))))
+    # IUPAC in the pattern
+    cases.append((b"ACGRYNNTT", b"TTACGATCTTGGACGGTACTT", 2))
+
+    for pat, txt, k in cases:
+        want = dp_valleys(pat, txt, k)
+        out = np.zeros(256, dtype=np.int32)
+        got_n = lib.bbio_myers_valleys(
+            txt,
+            len(txt),
+            dna.ENCODE_LUT.tobytes(),
+            (dna.encode(pat) & 0xF).tobytes(),
+            len(pat),
+            k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            256,
+        )
+        assert got_n == len(want), (pat, txt, k, want, out[:got_n])
+        assert out[:got_n].tolist() == want
