@@ -6,12 +6,16 @@ sharding plus a final deterministic merge:
 * every host processes its own slice of the input (round-robin by file,
   or by record stripes within a file) through the normal single-host
   pipeline, writing per-host stage outputs
-  (``annotation.shard-{r}.tsv``);
-* the stage-file contract is preserved by merging shards in shard order
-  (host 0 first), which keeps each read's rows contiguous and the
-  overall order deterministic and independent of host count;
-* global counters/histograms (progress, inspect) ride `psum` on the
-  device mesh — see :mod:`barbell_tpu.parallel.mesh`.
+  (``annotation.shard-{r}.tsv``) plus a ``.idx`` sidecar of
+  ``stream_index\tn_rows`` per processed read;
+* the merge interleaves shard rows back into original stream order
+  using the sidecars, so the merged ``annotation.tsv`` is
+  BYTE-IDENTICAL to a single-host run — each read's rows stay
+  contiguous and downstream stages (filter/inspect/trim on the merged
+  file) see exactly the single-host input, which also makes inspect's
+  pattern histogram the global one;
+* global progress counters ride `psum` on the device mesh — see
+  :mod:`barbell_tpu.parallel.mesh`.
 
 `initialize()` wires `jax.distributed` when the standard coordinator
 environment is present; on a single host everything degrades to
@@ -69,32 +73,78 @@ def shard_output_path(base: str, rank: int, world: int) -> str:
 
 
 def merge_annotation_shards(base: str, world: int, delete: bool = True) -> None:
-    """Concatenate per-host annotation shards deterministically (rank
-    order), writing the header once.  Run on rank 0 after a barrier."""
+    """Merge per-host annotation shards into ``base``.  Run on rank 0
+    after a barrier.
+
+    When every shard has a ``.idx`` sidecar (written by sharded
+    annotate runs), rows interleave by original stream index and the
+    result is byte-identical to a single-host run.  Record striping
+    assigns index %% world == rank, so the global order is a strict
+    round-robin over shards — no heap needed; the sidecar's per-read
+    row count keeps zero-row reads from desynchronizing the copy.
+    Without sidecars (e.g. hand-built shards) the merge degrades to
+    rank-order concatenation, which keeps rows contiguous per read but
+    reorders reads across hosts."""
     if world <= 1:
         return
     from ..models.records import TSV_COLUMNS
 
     header = "\t".join(TSV_COLUMNS)
+    shards = [shard_output_path(base, rank, world) for rank in range(world)]
+    sidecars = [s + ".idx" for s in shards]
+    interleave = all(os.path.exists(s) for s in shards) and all(
+        os.path.exists(i) for i in sidecars
+    )
+
     with open(base, "w") as out:
-        wrote_header = False
-        for rank in range(world):
-            shard = shard_output_path(base, rank, world)
-            if not os.path.exists(shard):
-                continue
-            with open(shard) as fh:
-                first = fh.readline()
-                if not first:
+        if interleave:
+            readers = []
+            idx_iters = []
+            try:
+                for shard in shards:
+                    fh = open(shard)
+                    first = fh.readline()
+                    if first and first.rstrip("\n") != header:
+                        raise ValueError(f"Bad shard header in {shard}")
+                    readers.append(fh)
+                for side in sidecars:
+                    idx_iters.append(open(side))
+                out.write(header + "\n")
+                live = [True] * world
+                rank = 0
+                while any(live):
+                    if live[rank]:
+                        line = idx_iters[rank].readline()
+                        if not line:
+                            live[rank] = False
+                        else:
+                            _si, n_rows = line.split("\t")
+                            for _ in range(int(n_rows)):
+                                out.write(readers[rank].readline())
+                    rank = (rank + 1) % world
+            finally:
+                for fh in readers + idx_iters:
+                    fh.close()
+        else:
+            wrote_header = False
+            for shard in shards:
+                if not os.path.exists(shard):
                     continue
-                if first.rstrip("\n") != header:
-                    raise ValueError(f"Bad shard header in {shard}")
-                if not wrote_header:
-                    out.write(first)
-                    wrote_header = True
-                for line in fh:
-                    out.write(line)
-            if delete:
-                os.remove(shard)
+                with open(shard) as fh:
+                    first = fh.readline()
+                    if not first:
+                        continue
+                    if first.rstrip("\n") != header:
+                        raise ValueError(f"Bad shard header in {shard}")
+                    if not wrote_header:
+                        out.write(first)
+                        wrote_header = True
+                    for line in fh:
+                        out.write(line)
+    if delete:
+        for path in shards + sidecars:
+            if os.path.exists(path):
+                os.remove(path)
 
 
 def write_completion_marker(out_dir: str, stage: str, rank: int) -> None:

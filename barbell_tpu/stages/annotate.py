@@ -117,6 +117,14 @@ def annotate(
     )
 
     shard = config.shard
+    from collections import deque
+
+    # Sharded runs also write a ``<out>.idx`` sidecar of
+    # ``stream_index<TAB>n_rows`` per processed read, so the merge can
+    # interleave shards back into the exact single-host read order
+    # (reads with zero annotation rows would otherwise desynchronize a
+    # row-count-based merge).
+    idx_queue: deque = deque()
 
     def batches():
         if shard is None:
@@ -129,35 +137,48 @@ def annotate(
         idx = 0
         read_ids: list = []
         seqs: list = []
+        idxs: list = []
         for batch in iter_fastq_batches_auto(read_files, config.batch_size):
             for h, s, _q in batch:
                 if idx % world == rank:
                     read_ids.append(split_fastq_header(h)[0])
                     seqs.append(s)
+                    idxs.append(idx)
                     if len(read_ids) >= config.batch_size:
+                        idx_queue.append(idxs)
                         yield read_ids, seqs
-                        read_ids, seqs = [], []
+                        read_ids, seqs, idxs = [], [], []
                 idx += 1
         if read_ids:
+            idx_queue.append(idxs)
             yield read_ids, seqs
 
     from ..models.pipeline import engine_map_batches
 
-    with open(out_file, "w") as fh:
-        writer = AnnotationWriter(fh)
-        for read_ids, _seqs, per_read in engine_map_batches(engine, batches()):
-            rows = []
-            found = 0
-            for matches in per_read:
-                if matches:
-                    found += 1
-                    rows.extend(matches)
-            writer.write_rows(rows)
-            progress.add(0, len(read_ids))
-            progress.add(1, found)
-            progress.add(2, len(read_ids) - found)
-            progress.refresh()
-        writer.finish()
+    sidecar = open(out_file + ".idx", "w") if shard is not None else None
+    try:
+        with open(out_file, "w") as fh:
+            writer = AnnotationWriter(fh)
+            for read_ids, _seqs, per_read in engine_map_batches(engine, batches()):
+                idxs = idx_queue.popleft() if shard is not None else None
+                rows = []
+                found = 0
+                for matches in per_read:
+                    if matches:
+                        found += 1
+                        rows.extend(matches)
+                writer.write_rows(rows)
+                if sidecar is not None:
+                    for si, matches in zip(idxs, per_read):
+                        sidecar.write(f"{si}\t{len(matches)}\n")
+                progress.add(0, len(read_ids))
+                progress.add(1, found)
+                progress.add(2, len(read_ids) - found)
+                progress.refresh()
+            writer.finish()
+    finally:
+        if sidecar is not None:
+            sidecar.close()
     progress.finish("records")
 
 

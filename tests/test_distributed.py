@@ -48,24 +48,65 @@ def test_record_striped_shards_merge_to_single_run(tmp_path):
     assert all(has_completion_marker(str(tmp_path), "annotate", r) for r in range(world))
     merge_annotation_shards(base, world)
 
-    # merged shard output contains the same rows as the single run
-    # (record striping reorders reads deterministically: rank 0's reads
-    # then rank 1's; row content per read must be identical)
-    def rows_by_read(path):
-        out = {}
-        with open(path) as fh:
-            header = fh.readline()
-            for line in fh:
-                rid = line.split("\t", 1)[0]
-                out.setdefault(rid, []).append(line)
-        return header, out
-
-    h1, single_rows = rows_by_read(single)
-    h2, merged_rows = rows_by_read(base)
-    assert h1 == h2
-    assert single_rows == merged_rows
-    # shard files were cleaned up
+    # the sidecar-driven merge restores original stream order: the
+    # merged output is BYTE-IDENTICAL to the single-host run
+    with open(single) as fh:
+        want = fh.read()
+    with open(base) as fh:
+        got = fh.read()
+    assert got == want
+    # shard files and sidecars were cleaned up
     assert not os.path.exists(shard_output_path(base, 0, world))
+    assert not os.path.exists(shard_output_path(base, 0, world) + ".idx")
+
+
+def test_record_striped_jax_engine_merges_byte_identical(tmp_path):
+    """The SAME scenario through the jax device engine (sharded over
+    the CPU mesh) + the native 2-bit upload path: N-host merged output
+    must be byte-identical to the single-host jax run AND to the oracle
+    run."""
+    import pytest
+
+    pytest.importorskip("jax")
+    create_testdata(
+        8, str(tmp_path / "sim"), barcodes=default_barcodes(4), rc_frac=0.5,
+        seed=17, groups=("GroupII", "GroupI"),
+    )
+    fastqs = [
+        str(tmp_path / "sim" / "GroupII.fastq"),
+        str(tmp_path / "sim" / "GroupI.fastq"),
+    ]
+
+    single = str(tmp_path / "single.tsv")
+    annotate_with_kit(
+        [*fastqs], single, "SQK-RBK110-96",
+        AnnotateConfig(backend="jax", batch_size=4),
+    )
+    oracle = str(tmp_path / "oracle.tsv")
+    annotate_with_kit(
+        [*fastqs], oracle, "SQK-RBK110-96",
+        AnnotateConfig(backend="oracle", batch_size=4),
+    )
+
+    base = str(tmp_path / "sharded.tsv")
+    world = 3
+    for rank in range(world):
+        annotate_with_kit(
+            [*fastqs],
+            shard_output_path(base, rank, world),
+            "SQK-RBK110-96",
+            AnnotateConfig(backend="jax", batch_size=4, shard=(rank, world)),
+        )
+    merge_annotation_shards(base, world)
+
+    with open(single) as fh:
+        want = fh.read()
+    with open(base) as fh:
+        got = fh.read()
+    with open(oracle) as fh:
+        oracle_out = fh.read()
+    assert got == want
+    assert want == oracle_out
 
 
 def test_cli_shard_flags(tmp_path):
