@@ -143,6 +143,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maximize", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="Independently re-verify assignments with a direct search")
+    p.add_argument("--time", action="store_true", dest="time_runs",
+                   help="Report per-group wall clock and reads/s")
     p.add_argument("--backend", choices=["auto", "jax", "oracle"], default="auto")
 
     return parser
@@ -283,6 +285,7 @@ def _dispatch(args) -> int:
             maximize=args.maximize,
             backend=args.backend,
             verify=args.verify,
+            time_runs=args.time_runs,
         )
         print_reports(reports)
 

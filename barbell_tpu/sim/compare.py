@@ -34,6 +34,7 @@ class GroupReport:
     assigned: int = 0
     correct: int = 0
     verified: int = 0
+    wall_s: Optional[float] = None  # kit-pipeline wall clock (--time)
 
     @property
     def assign_rate(self) -> float:
@@ -42,6 +43,12 @@ class GroupReport:
     @property
     def accuracy(self) -> float:
         return self.correct / self.assigned if self.assigned else 0.0
+
+    @property
+    def reads_per_sec(self) -> Optional[float]:
+        if self.wall_s is None or self.wall_s <= 0:
+            return None
+        return self.total_reads / self.wall_s
 
 
 def read_truth(path: str) -> Dict[str, str]:
@@ -144,8 +151,17 @@ def run_compare(
     maximize: bool = False,
     backend: str = "auto",
     verify: bool = False,
+    time_runs: bool = False,
 ) -> List[GroupReport]:
-    """Run the kit pipeline on each simulated group and score it."""
+    """Run the kit pipeline on each simulated group and score it.
+
+    ``time_runs`` adds per-group wall clock + reads/s to the reports —
+    the wall-clock side of the reference's tool-comparison harness
+    (`benchmarks/src/compare/compare.rs:467-523`, scaffolding there).
+    Timing discipline is the caller's: on the shared remote chip, time
+    solo and prefer medians of repeated runs (CLAUDE.md)."""
+    import time
+
     from ..stages.kit import KitRunConfig, demux_using_kit
     from .simulate import GROUPS
 
@@ -162,24 +178,37 @@ def run_compare(
             maximize=maximize,
             backend=backend,
         )
+        t0 = time.perf_counter()
         demux_using_kit([fastq], config)
-        reports.append(
-            evaluate_group(
-                group,
-                fastq,
-                os.path.join(sim_dir, f"{group}_truth.txt"),
-                out,
-                verify=verify,
-            )
+        wall = time.perf_counter() - t0
+        report = evaluate_group(
+            group,
+            fastq,
+            os.path.join(sim_dir, f"{group}_truth.txt"),
+            out,
+            verify=verify,
         )
+        if time_runs:
+            report.wall_s = wall
+        reports.append(report)
     return reports
 
 
 def print_reports(reports: List[GroupReport]) -> None:
-    print(f"{'group':<10} {'reads':>6} {'assigned':>9} {'correct':>8} "
-          f"{'assign%':>8} {'acc%':>6}")
+    timed = any(r.wall_s is not None for r in reports)
+    head = (f"{'group':<10} {'reads':>6} {'assigned':>9} {'correct':>8} "
+            f"{'assign%':>8} {'acc%':>6}")
+    if timed:
+        head += f" {'wall_s':>8} {'reads/s':>9}"
+    print(head)
     for r in reports:
-        print(
+        line = (
             f"{r.group:<10} {r.total_reads:>6} {r.assigned:>9} {r.correct:>8} "
             f"{100 * r.assign_rate:>7.1f}% {100 * r.accuracy:>5.1f}%"
         )
+        if timed:
+            if r.wall_s is not None:
+                line += f" {r.wall_s:>8.2f} {r.reads_per_sec:>9.1f}"
+            else:
+                line += f" {'-':>8} {'-':>9}"
+        print(line)

@@ -71,6 +71,30 @@ def get_group_structure(group: List[BarbellMatch], bucket_size: int) -> str:
     return "__".join(elements)
 
 
+# Reference `src/inspect/inspect.rs:120-131`: the printed top-N patterns
+# color element types (Fflank light pink, Ftag dark pink, Rflank light
+# blue, Rtag dark blue) while the underlying strings stay clean.  Color
+# only on a tty, like the reference's `colored` crate.
+_TYPE_COLORS = (
+    ("Fflank", (255, 182, 193)),
+    ("Ftag", (231, 84, 128)),
+    ("Rflank", (173, 216, 230)),
+    ("Rtag", (0, 0, 139)),
+)
+
+
+def colorize_pattern(pattern: str, force: bool = False) -> str:
+    import sys as _sys
+
+    if not force and not _sys.stdout.isatty():
+        return pattern
+    for name, (r, g, b) in _TYPE_COLORS:
+        pattern = pattern.replace(
+            name, f"\x1b[38;2;{r};{g};{b}m{name}\x1b[0m"
+        )
+    return pattern
+
+
 def inspect(
     annotated_file: str,
     top_n: int = 10,
@@ -93,6 +117,6 @@ def inspect(
     ranked = sorted(pattern_count.items(), key=lambda kv: -kv[1])
     for i, (pattern, count) in enumerate(ranked[:top_n]):
         print(f"\tPattern {i + 1}: {count} occurrences")
-        print(f"\t\t{pattern}")
+        print(f"\t\t{colorize_pattern(pattern)}")
     print(f"Showed {min(top_n, len(ranked))} / {len(ranked)} patterns")
     return pattern_count

@@ -174,3 +174,32 @@ def test_kit_pipeline_end_to_end(tmp_path):
     # Clean GroupII reads must be overwhelmingly recovered and correct.
     assert len(assigned) >= 5
     assert correct == len(assigned)
+
+
+def test_inspect_colorize_pattern():
+    from barbell_tpu.stages.inspect import colorize_pattern
+
+    s = "Ftag[fw, BC01]__Rflank[rc]"
+    colored = colorize_pattern(s, force=True)
+    assert "\x1b[38;2;231;84;128mFtag\x1b[0m" in colored
+    assert "\x1b[38;2;173;216;230mRflank\x1b[0m" in colored
+    # non-tty output stays clean
+    assert colorize_pattern(s) == s
+
+
+def test_compare_time_mode(tmp_path):
+    """--time adds wall clock + reads/s columns to the compare report."""
+    from barbell_tpu.sim.compare import print_reports, run_compare
+    from barbell_tpu.sim.simulate import create_testdata, default_barcodes
+
+    create_testdata(
+        4, str(tmp_path / "sim"), barcodes=default_barcodes(4), rc_frac=0.0,
+        seed=3, groups=("GroupII",),
+    )
+    reports = run_compare(
+        str(tmp_path / "sim"), str(tmp_path / "work"), kit="SQK-RBK110-96",
+        groups=["GroupII"], backend="oracle", time_runs=True,
+    )
+    assert reports[0].wall_s is not None and reports[0].wall_s > 0
+    assert reports[0].reads_per_sec > 0
+    print_reports(reports)
