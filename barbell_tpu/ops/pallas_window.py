@@ -49,7 +49,7 @@ MODE_INTERVAL = 2
 
 
 def _kernel(pat_ref, win_ref, lane_ref, sc_ref, *rest, m: int, W: int,
-            mode: int):
+            mode: int, ru: int = 8):
     """lane_ref packs per-lane int32 controls [6, HC-block, 8, 128]:
     0 end_j (trace/interval) | emit_lo (valley)
     1 left_edge (0/1)
@@ -127,7 +127,7 @@ def _kernel(pat_ref, win_ref, lane_ref, sc_ref, *rest, m: int, W: int,
         tchar = win_ref[j - 1, 0].astype(jnp.int32)  # (8, 128)
         vertj = jnp.where(j == rpos, alpha, unit)
 
-        def row_step(i, __):
+        def row_step(i):
             pchar = pat_ref[i - 1, 0].astype(jnp.int32)
             eq = (pchar & tchar) > 0
             cp_im1 = c_ref[prev, i - 1]
@@ -177,7 +177,6 @@ def _kernel(pat_ref, win_ref, lane_ref, sc_ref, *rest, m: int, W: int,
                 s3_ref[parity, i] = jnp.where(in_iv, u_j, ej)
                 s4_ref[parity, i] = co + jnp.where(in_iv & ~is_match, 1, 0)
                 s5_ref[parity, i] = ha | in_iv.astype(jnp.int32)
-            return 0
 
         # column boundary cell (0, j): free start, zero state
         c_ref[parity, 0] = tchar * 0
@@ -193,7 +192,24 @@ def _kernel(pat_ref, win_ref, lane_ref, sc_ref, *rest, m: int, W: int,
             s3_ref[parity, 0] = z - 1
             s4_ref[parity, 0] = z
             s5_ref[parity, 0] = z
-        jax.lax.fori_loop(1, m + 1, row_step, 0)
+        # The row chain is overhead-bound as a plain fori_loop on TPU
+        # — each step is a handful of (8, 128) vector ops and the
+        # up-dependency forbids vectorizing over i — so unroll it in
+        # blocks of ru rows (Mosaic fori_loop itself only supports
+        # full/no unroll; full unroll bloats code size, and interpret
+        # mode compiles the unrolled body so slowly that callers pass
+        # ru=1 there — the row_step sequence is identical either way).
+        nb = m // ru
+
+        def row_block(b, _):
+            for du in range(ru):
+                row_step(b * ru + du + 1)
+            return 0
+
+        if nb > 0:
+            jax.lax.fori_loop(0, nb, row_block, 0)
+        for i in range(nb * ru + 1, m + 1):  # static remainder rows
+            row_step(i)
 
         if mode == MODE_VALLEY:
             elo = lane_ref[0, 0]
@@ -303,7 +319,8 @@ def _window_call(pat_t, win_t, lane_t, scalars, *, m, W, mode, interpret):
         scratch.append(pltpu.VMEM((n_sum, SUBS, LANES), jnp.int32))
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, m=m, W=W, mode=mode),
+        functools.partial(_kernel, m=m, W=W, mode=mode,
+                          ru=1 if interpret else 8),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
