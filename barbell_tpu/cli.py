@@ -36,7 +36,7 @@ def _add_backend_args(p: argparse.ArgumentParser) -> None:
         help="Demux engine: batched device pipeline (jax) or scalar NumPy oracle",
     )
     p.add_argument(
-        "--batch-size", type=int, default=512, help="Reads per device batch"
+        "--batch-size", type=int, default=2048, help="Reads per device batch"
     )
 
 

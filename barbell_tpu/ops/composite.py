@@ -380,6 +380,14 @@ def demux_call(
         rows = _assemble_rows(host_packed, simple_idx)
     R, L = rows.shape
     L_key = L + 2
+    # Valley keys are cost_scaled * L_key + col with BIG (2**30)
+    # sentinels on both kernel paths: any valid key reaching the
+    # sentinel would silently drop hits.  Static shapes make this
+    # checkable at trace time (the engine also pre-shrinks row width).
+    assert k_units * UNIT * L_key + L < 2**30, (
+        f"valley keys overflow the 2**30 sentinel: k_units={k_units}, "
+        f"L={L}; shrink the row width"
+    )
 
     tsc = meta[:, M_TSC]
     tec = meta[:, M_TEC]

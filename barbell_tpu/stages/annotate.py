@@ -32,7 +32,7 @@ class AnnotateConfig:
     min_score_diff: float = 0.1
     use_extended: bool = False
     backend: str = "auto"  # 'auto' | 'jax' | 'oracle'
-    batch_size: int = 512
+    batch_size: int = 2048
     # Multi-host record striping: (rank, world) — this process handles
     # records with stream_index %% world == rank.
     shard: Optional[tuple] = None

@@ -36,7 +36,7 @@ class KitRunConfig:
     alpha: float = 0.4
     gzip: bool = False
     backend: str = "auto"
-    batch_size: int = 512
+    batch_size: int = 2048
 
 
 def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:

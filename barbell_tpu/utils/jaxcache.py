@@ -37,5 +37,15 @@ def enable_compilation_cache() -> None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # The cache key hashes the lowered module INCLUDING the MLIR
+        # location tracebacks, which embed the CALLER's file:line — so
+        # any new entry script (or an edit shifting line numbers in the
+        # call chain) silently forced a full remote recompile
+        # (~5-6 min) despite a warm cache.  Dropping tracebacks from
+        # locations makes the key depend only on the computation.
+        # Set BARBELL_JAX_DEBUG_LOCS=1 to keep full locations when
+        # debugging compiler errors.
+        if os.environ.get("BARBELL_JAX_DEBUG_LOCS", "") in ("", "0"):
+            jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:
         pass  # cache is an optimization, never a requirement
