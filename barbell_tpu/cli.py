@@ -86,6 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-r", "--reads", nargs="+", required=True)
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="Writer threads (parallel gzip compression)")
     p.add_argument("--no-label", action="store_true")
     p.add_argument("--no-orientation", action="store_true")
     p.add_argument("--no-flanks", action="store_true")
@@ -229,6 +231,7 @@ def _dispatch(args) -> int:
             flip=args.flip,
             verbose=args.verbose,
             use_gzip=args.gzip,
+            threads=args.threads,
         )
         print("Trimming complete!")
 

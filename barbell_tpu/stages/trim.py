@@ -217,6 +217,78 @@ def _file_error(path: str, err: OSError) -> OSError:
     return OSError(msg)
 
 
+class _ThreadedWriterPool:
+    """Fan per-label writes out to worker threads (gzip compression is
+    the trim bottleneck on 96-plex runs; zlib releases the GIL).
+
+    Labels shard to workers by stable hash, so every file is written by
+    exactly one worker in arrival order — output bytes are identical to
+    the single-threaded pool.  Worker errors re-raise on close."""
+
+    def __init__(self, output_folder: str, use_gzip: bool, n_threads: int):
+        import queue
+        import threading
+
+        self._pools = [
+            _WriterPool(output_folder, use_gzip) for _ in range(n_threads)
+        ]
+        self._queues = [queue.Queue(maxsize=4096) for _ in range(n_threads)]
+        self._errors: list = []
+        self._threads = []
+        for i in range(n_threads):
+            t = threading.Thread(
+                target=self._worker, args=(i,), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    def _shard(self, group: str) -> int:
+        # stable across processes (hash() is salted)
+        return sum(group.encode()) % len(self._queues)
+
+    def _worker(self, i: int) -> None:
+        pool = self._pools[i]
+        q = self._queues[i]
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            try:
+                pool.get(item[0]).write_record(item[1], item[2], item[3])
+            except BaseException as exc:  # propagate on close
+                self._errors.append(exc)
+                return
+
+    def get(self, group: str):
+        return _ThreadedHandle(self, group)
+
+    def write(self, group, header, seq, qual):
+        if self._errors:
+            raise self._errors[0]
+        self._queues[self._shard(group)].put((group, header, seq, qual))
+
+    def close_all(self):
+        for q in self._queues:
+            q.put(None)
+        for t in self._threads:
+            t.join()
+        for pool in self._pools:
+            pool.close_all()
+        if self._errors:
+            raise self._errors[0]
+
+
+class _ThreadedHandle:
+    """Adapter matching the plain pool's ``get(group).write_record``."""
+
+    def __init__(self, pool: "_ThreadedWriterPool", group: str):
+        self._pool = pool
+        self._group = group
+
+    def write_record(self, header: bytes, seq: bytes, qual: bytes) -> None:
+        self._pool.write(self._group, header, seq, qual)
+
+
 def trim_matches(
     filtered_match_file: str,
     read_fastq_files: Sequence[str],
@@ -228,6 +300,7 @@ def trim_matches(
     flip: bool = False,
     verbose: bool = False,
     use_gzip: bool = False,
+    threads: int = 1,
 ) -> None:
     os.makedirs(output_folder, exist_ok=True)
     label_config = label_config or LabelConfig()
@@ -247,7 +320,10 @@ def trim_matches(
         annotations_by_read.setdefault(anno.read_id, []).append(anno)
 
     failed_fh = open(failed_out, "w") if failed_out else None
-    writers = _WriterPool(output_folder, use_gzip)
+    if threads > 1:
+        writers = _ThreadedWriterPool(output_folder, use_gzip, threads)
+    else:
+        writers = _WriterPool(output_folder, use_gzip)
     try:
         validate_fastq_paths(read_fastq_files)
         for header, seq, qual in iter_fastq(read_fastq_files):

@@ -172,3 +172,56 @@ def test_label_config_flank_exclusion():
         LabelConfig(True, False, False, False, "left").create_label(annotations)
         == "BC01"
     )
+
+
+def test_threaded_writer_pool_outputs_identical(tmp_path):
+    """trim with a writer thread pool must produce byte-identical
+    per-label FASTQ files (gzip: identical decompressed content)."""
+    import gzip as _gzip
+    import random
+
+    from barbell_tpu.stages.trim import trim_matches, LabelConfig
+    from barbell_tpu.models.records import (
+        AnnotationWriter, BarbellMatch, BarcodeType, Strand,
+    )
+
+    rng = random.Random(8)
+    reads = []
+    rows = []
+    for i in range(120):
+        rid = f"r{i}"
+        seq = "".join(rng.choice("ACGT") for _ in range(300))
+        reads.append((rid, seq))
+        label = f"BC{(i % 7) + 1:02d}"
+        rows.append(BarbellMatch(
+            read_id=rid, read_len=300, rel_dist_to_end=1,
+            read_start_bar=10, read_end_bar=34, read_start_flank=0,
+            read_end_flank=44, bar_start=0, bar_end=24,
+            match_type=BarcodeType.Ftag, flank_cost=0, barcode_cost=0,
+            label=label, strand=Strand.Fwd,
+            cuts=[("After(1)", i % 3)],
+        ))
+    fastq = tmp_path / "in.fastq"
+    with open(fastq, "w") as fh:
+        for rid, seq in reads:
+            fh.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    filt = tmp_path / "filtered.tsv"
+    with open(filt, "w") as fh:
+        w = AnnotationWriter(fh)
+        w.write_rows(rows)
+
+    def run(out, threads, use_gzip):
+        trim_matches(
+            str(filt), [str(fastq)], str(out),
+            label_config=LabelConfig(), threads=threads, use_gzip=use_gzip,
+        )
+        data = {}
+        for f in sorted(out.iterdir()):
+            raw = f.read_bytes()
+            if f.name.endswith(".gz"):
+                raw = _gzip.decompress(raw)
+            data[f.name.replace(".gz", "")] = raw
+        return data
+
+    assert run(tmp_path / "plain1", 1, False) == run(tmp_path / "plain4", 4, False)
+    assert run(tmp_path / "gz1", 1, True) == run(tmp_path / "gz4", 4, True)
