@@ -155,6 +155,18 @@ def annotate(
 
     from ..models.pipeline import engine_map_batches
 
+    # BARBELL_PROFILE_DIR=<dir> captures a JAX profiler trace of the
+    # whole annotate stream (host + device timelines, viewable in
+    # TensorBoard/XProf) alongside the BARBELL_TIMING phase counters.
+    profile_dir = os.environ.get("BARBELL_PROFILE_DIR")
+    if profile_dir:
+        try:
+            import jax
+
+            jax.profiler.start_trace(profile_dir)
+        except Exception:
+            profile_dir = None
+
     sidecar = open(out_file + ".idx", "w") if shard is not None else None
     try:
         with open(out_file, "w") as fh:
@@ -179,6 +191,13 @@ def annotate(
     finally:
         if sidecar is not None:
             sidecar.close()
+        if profile_dir:
+            try:
+                import jax
+
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
     progress.finish("records")
 
 
