@@ -411,31 +411,42 @@ def demux_call(
     # Strand-split layout (pallas rank): fwd hits in lanes [0, H_cap/2),
     # rc hits in [H_cap/2, H_cap) — the rank kernel then evaluates only
     # the lane's own strand's P patterns instead of all 2P.
+    # Valid hits compact into lanes in flat (row-major, then slot)
+    # order via cumsum + scatter — an argsort-based compaction costs a
+    # full bitonic sort (~log^2 passes over R*K keys) for what is just
+    # a stable partition.  Lane validity comes from the counts, so the
+    # scatter's zero-initialized slack lanes are never read.
     split = use_pallas and Wb <= 255 and H_cap % 256 == 0
     flat_valid = (key_top < BIG).reshape(-1)
     total = flat_valid.sum(dtype=jnp.int32)
     flat_idx = jnp.arange(R * K, dtype=jnp.int32)
+
+    def compact(valid, cap):
+        """Indices of valid entries in flat order, padded with 0s; a
+        lane is meaningful iff its index < the valid count."""
+        pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        pos = jnp.where(valid & (pos < cap), pos, cap)  # OOB -> dropped
+        return jnp.zeros(cap, dtype=jnp.int32).at[pos].set(
+            flat_idx, mode="drop"
+        )
+
     if split:
         rc_row = meta[:, M_ISRC] != 0
         rc_flat = jnp.repeat(rc_row, K)
         half = H_cap // 2
-        fwd_order = jnp.argsort(
-            jnp.where(flat_valid & ~rc_flat, flat_idx, jnp.int32(BIG))
+        fwd_valid = flat_valid & ~rc_flat
+        take = jnp.concatenate(
+            [compact(fwd_valid, half), compact(flat_valid & rc_flat, half)]
         )
-        rc_order = jnp.argsort(
-            jnp.where(flat_valid & rc_flat, flat_idx, jnp.int32(BIG))
-        )
-        take = jnp.concatenate([fwd_order[:half], rc_order[:half]])
-        n_fwd = (flat_valid & ~rc_flat).sum(dtype=jnp.int32)
+        n_fwd = fwd_valid.sum(dtype=jnp.int32)
         n_rc = total - n_fwd
         # either half overflowing must trigger the caller's retry
         total_out = jnp.maximum(total, 2 * jnp.maximum(n_fwd, n_rc))
-        lane_rc = rc_flat[take]
-        hvalid = flat_valid[take] & (lane_rc == (jnp.arange(H_cap) >= half))
+        lane = jnp.arange(H_cap)
+        hvalid = jnp.where(lane < half, lane < n_fwd, lane - half < n_rc)
     else:
-        order = jnp.argsort(jnp.where(flat_valid, flat_idx, jnp.int32(BIG)))
-        take = order[:H_cap]
-        hvalid = flat_valid[take]
+        take = compact(flat_valid, H_cap)
+        hvalid = jnp.arange(H_cap) < total
         total_out = total
     hrow = take // K
     hkey = key_top.reshape(-1)[take]
