@@ -114,14 +114,35 @@ def _assemble_rows2cat(flat_codes, row_start, exc, hlen, simple_idx, L):
     """Concatenated 2-bit variant: rows pack back to back in one flat
     byte buffer (no padding on the wire — reads average ~56% of the
     padded row width); the device scatters each row's ceil(len/4) code
-    bytes into the padded layout, then proceeds as _assemble_rows2."""
+    bytes into the padded layout, then proceeds as _assemble_rows2.
+
+    Row starts are 128-byte aligned by the host packer, so the scatter
+    runs as a SLICE gather of (Q/128, 128)-byte chunks — the
+    per-element ``jnp.take`` formulation was the single most expensive
+    op in the fused call (~17ms per 2048-read batch on hardware; the
+    slice form is nearly free).  Small row widths (Q % 128 != 0, tests
+    only) keep the element gather."""
     R0 = row_start.shape[0]
     Q = L // 4
-    qpos = jnp.arange(Q, dtype=jnp.int32)
-    idx = jnp.clip(
-        row_start[:, None] + qpos[None, :], 0, flat_codes.shape[0] - 1
-    )
-    b = jnp.take(flat_codes, idx).astype(jnp.int32)
+    if Q % 128 == 0:
+        flat2 = flat_codes.reshape(-1, 128)
+        b = jax.lax.gather(
+            flat2,
+            (row_start // 128)[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2),
+                collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=(Q // 128, 128),
+            mode="clip",
+        ).reshape(R0, Q).astype(jnp.int32)
+    else:
+        qpos = jnp.arange(Q, dtype=jnp.int32)
+        idx = jnp.clip(
+            row_start[:, None] + qpos[None, :], 0, flat_codes.shape[0] - 1
+        )
+        b = jnp.take(flat_codes, idx).astype(jnp.int32)
     codes = jnp.stack(
         [(b >> (2 * s)) & 3 for s in range(4)], axis=2
     ).reshape(R0, L)
