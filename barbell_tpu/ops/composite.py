@@ -91,15 +91,53 @@ def _valley_keys(ends, lo, hi, k_scaled, L_key):
     return key, isv.sum(axis=1, dtype=jnp.int32)
 
 
-def _window_cols(rows, starts, W):
-    """Per-row fixed-width slices as ONE flat gather (never materialize
-    [R, L] intermediates — row-gather-then-slice is pathologically slow
-    on TPU)."""
+def _slab_windows(rows, row_idx, starts, W: int):
+    """windows[h] = rows[row_idx[h], starts[h] : starts[h]+W] via a
+    SLICE gather of 128-column slabs plus a small local take.
+
+    The flat per-element ``jnp.take`` formulation was ~11ms per call on
+    hardware for [4-8k, ~127] windows out of a 16MB row matrix; slab
+    slices gather whole (1, nsub, 128) chunks (cheap) and the remaining
+    take_along_axis runs over a [H, nsub*128] operand with perfect
+    locality.  Starts must be >= 0 (true for every caller); columns
+    past the row or window are masked by the callers, so clamp
+    artifacts are never read."""
     R, L = rows.shape
-    jpos = jnp.arange(W, dtype=jnp.int32)
-    cols = jnp.clip(starts[:, None] + jpos[None, :], 0, L - 1)
-    rowbase = jnp.arange(R, dtype=jnp.int32)[:, None] * L
-    return jnp.take(rows.reshape(-1), rowbase + cols)
+    H = row_idx.shape[0]
+    nsub = W // 128 + 2
+    if L % 128 != 0 or L // 128 < nsub:
+        jpos = jnp.arange(W, dtype=jnp.int32)
+        cols = jnp.minimum(starts[:, None] + jpos[None, :], L - 1)
+        flat = row_idx.astype(jnp.int32)[:, None] * L + cols
+        return jnp.take(rows.reshape(-1), flat)
+    rows3 = rows.reshape(R, L // 128, 128)
+    sub = jnp.minimum(
+        jnp.clip(starts, 0, L - 1) // 128, jnp.int32(L // 128 - nsub)
+    )
+    slabs = jax.lax.gather(
+        rows3,
+        jnp.stack([row_idx.astype(jnp.int32), sub], axis=1),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1),
+        ),
+        slice_sizes=(1, nsub, 128),
+        mode="clip",
+    ).reshape(H, nsub * 128)
+    off = starts - sub * 128
+    cols = jnp.clip(
+        off[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :],
+        0,
+        nsub * 128 - 1,
+    )
+    return jnp.take_along_axis(slabs, cols, axis=1)
+
+
+def _window_cols(rows, starts, W):
+    """Per-row fixed-width slices (row h reads its own row)."""
+    R = rows.shape[0]
+    return _slab_windows(rows, jnp.arange(R, dtype=jnp.int32), starts, W)
 
 
 def _assemble_rows(host_packed, simple_idx):
@@ -669,14 +707,10 @@ def unpack_flank_scan(packed, K: int):
 def _gather_windows(rows, row_idx, starts, W: int):
     """windows[h] = rows[row_idx[h], starts[h] : starts[h]+W].
 
-    One flat gather of [H, W] elements; column indices are clamped to
-    the row, and callers zero out anything past their window length,
-    so clamped duplicates are never read."""
-    L = rows.shape[1]
-    jpos = jnp.arange(W, dtype=jnp.int32)
-    cols = jnp.minimum(starts[:, None] + jpos[None, :], L - 1)
-    flat = row_idx.astype(jnp.int32)[:, None] * L + cols
-    return jnp.take(rows.reshape(-1), flat)
+    Slab slice-gather + local take (see :func:`_slab_windows`); callers
+    zero out anything past their window length, so clamp artifacts are
+    never read."""
+    return _slab_windows(rows, row_idx, starts, W)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "W"))
