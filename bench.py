@@ -226,11 +226,12 @@ def main():
     if anchor is not None:
         anchor_rps, valleys = anchor
         baseline = anchor_rps * SIMD_FACTOR
+        ncores = os.cpu_count() or 1
         print(
             f"# cpu anchor: scalar Myers proxy {anchor_rps:.0f} reads/s "
-            f"@ {ANCHOR_THREADS} threads ({valleys} valleys); "
-            f"x{SIMD_FACTOR:.0f} SIMD allowance -> baseline "
-            f"{baseline:.0f} reads/s (measured, see BASELINE.md)",
+            f"@ {ANCHOR_THREADS} threads on {ncores} core(s) "
+            f"({valleys} valleys); x{SIMD_FACTOR:.0f} SIMD allowance -> "
+            f"baseline {baseline:.0f} reads/s (measured, see BASELINE.md)",
             file=sys.stderr,
         )
     else:
