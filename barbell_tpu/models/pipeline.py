@@ -175,7 +175,6 @@ class _GroupPlan:
         self.patw_dev = None
         self.patterns_dev: Dict[Strand, object] = {}
         self.patterns_all_dev = None
-        self._scalars_dev: Dict[int, tuple] = {}  # step -> (gi, gf)
 
 
 class JaxDemuxEngine:
@@ -655,8 +654,10 @@ class JaxDemuxEngine:
         self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
         exc_dev, row_start_dev, pack_mode: int, L: int, step: int, H_cap: int,
     ):
-        gi_dev, gf_dev = self._group_scalars(gplan, step)
+        gi, gf = self._group_scalars(gplan, step)
         statics = dict(
+            gi=gi,
+            gf=gf,
             K=self.K,
             m=gplan.m,
             k_units=gplan.k_units,
@@ -687,8 +688,6 @@ class JaxDemuxEngine:
             host_packed_dev,
             simple_idx_dev,
             meta_dev,
-            gi_dev,
-            gf_dev,
             exc_dev,
             row_start_dev,
         )
@@ -888,39 +887,29 @@ class JaxDemuxEngine:
         )
 
     def _group_scalars(self, gplan: _GroupPlan, step: int):
-        jnp = self._jnp
-        cache = gplan._scalars_dev
-        key = int(step)
-        if key not in cache:
-            cache[key] = (
-                jnp.asarray(
-                    np.array(
-                        [
-                            self.alpha_scaled,
-                            gplan.mask_start,
-                            gplan.mask_end,
-                            gplan.k1_scaled,
-                            gplan.rel_bar_start,
-                            gplan.rel_bar_end,
-                            step,
-                        ],
-                        dtype=np.int32,
-                    )
-                ),
-                jnp.asarray(
-                    np.array(
-                        [gplan.perfect, self.min_score, self.min_score_diff],
-                        dtype=np.float32,
-                    )
-                ),
-            )
-        return cache[key]
+        """(gi, gf) as STATIC tuples — group constants bake into the
+        jitted executable instead of shipping two arrays per call."""
+        gi = (
+            int(self.alpha_scaled),
+            int(gplan.mask_start),
+            int(gplan.mask_end),
+            int(gplan.k1_scaled),
+            int(gplan.rel_bar_start),
+            int(gplan.rel_bar_end),
+            int(step),
+        )
+        gf = (
+            float(np.float32(gplan.perfect)),
+            float(np.float32(self.min_score)),
+            float(np.float32(self.min_score_diff)),
+        )
+        return gi, gf
 
     def _dispatch_group(
         self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
         exc_dev, row_start_dev, pack_mode: int, L: int, step: int, H_cap: int,
     ):
-        gi_dev, gf_dev = self._group_scalars(gplan, step)
+        gi, gf = self._group_scalars(gplan, step)
         return comp.demux_call(
             gplan.flank_dev,
             gplan.patw_dev,
@@ -928,10 +917,10 @@ class JaxDemuxEngine:
             host_packed_dev,
             simple_idx_dev,
             meta_dev,
-            gi_dev,
-            gf_dev,
             exc_dev,
             row_start_dev,
+            gi=gi,
+            gf=gf,
             K=self.K,
             m=gplan.m,
             k_units=gplan.k_units,

@@ -371,9 +371,9 @@ META_COLS = 12
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "K", "m", "k_units", "W_words", "top_bit", "Wf", "plen", "Wb",
-        "P", "H_cap", "padding", "use_pallas", "interpret", "pack_mode",
-        "L_rows", "_stages",
+        "gi", "gf", "K", "m", "k_units", "W_words", "top_bit", "Wf",
+        "plen", "Wb", "P", "H_cap", "padding", "use_pallas", "interpret",
+        "pack_mode", "L_rows", "_stages",
     ),
 )
 def demux_call(
@@ -383,11 +383,13 @@ def demux_call(
     host_packed,  # [R_host_pad, L/2] nibble-packed rows
     simple_idx,  # [S_pad] host-row indices of fwd simple reads
     meta,  # [R_total_pad, META_COLS] int32 per-row metadata
-    gi,  # [7] int32: alpha, mask_a, mask_b, k1, iv_a, iv_b, step —
-    #     packed so a batch ships 2 small arrays, not 10 scalar uploads
-    gf,  # [3] f32: perfect, min_score, min_score_diff
     exc,  # [E, 2] int32 (flat_pos, mask) exceptions (2-bit modes; dummy otherwise)
     row_start,  # [R_host] int32 byte starts (pack_mode 2; dummy otherwise)
+    *,
+    gi: tuple,  # (alpha, mask_a, mask_b, k1, iv_a, iv_b, step) ints —
+    #     group constants; static so they bake into the executable
+    #     instead of shipping + staging two arrays every call
+    gf: tuple,  # (perfect, min_score, min_score_diff) floats
     K: int,
     m: int,
     k_units: int,
@@ -420,9 +422,10 @@ def demux_call(
     strands run through one barcode-rank pass over the concatenated
     [fwd; rc] pattern stack with a per-lane strand mask.
     """
-    alpha_scaled, mask_a, mask_b = gi[0], gi[1], gi[2]
-    k1_scaled, iv_a, iv_b, step = gi[3], gi[4], gi[5], gi[6]
-    perfect, min_score, min_score_diff = gf[0], gf[1], gf[2]
+    (alpha_scaled, mask_a, mask_b, k1_scaled, iv_a, iv_b, step) = (
+        jnp.int32(v) for v in gi
+    )
+    perfect, min_score, min_score_diff = (jnp.float32(v) for v in gf)
 
     if pack_mode == 2:
         R_host = row_start.shape[0]

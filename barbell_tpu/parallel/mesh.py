@@ -105,9 +105,9 @@ def sharded_demux_step(mesh: Mesh, **statics):
     from ..ops import composite as comp
 
     def local_step(flank, patw, patterns_all, host_packed, simple_idx, meta,
-                   gi, gf, exc, row_start):
+                   exc, row_start):
         out = comp.demux_call(
-            flank, patw, patterns_all, host_packed, simple_idx, meta, gi, gf,
+            flank, patw, patterns_all, host_packed, simple_idx, meta,
             exc, row_start, **statics,
         )
         global_hits = jax.lax.psum(out[-1], READS_AXIS)
@@ -127,8 +127,6 @@ def sharded_demux_step(mesh: Mesh, **statics):
             packed_spec,
             P(READS_AXIS),
             P(READS_AXIS, None),
-            P(None),
-            P(None),
             P(READS_AXIS, None),
             P(READS_AXIS),
         ),

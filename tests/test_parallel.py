@@ -113,11 +113,12 @@ def test_sharded_demux_step_matches_single_device():
         metas.append(meta)
         sidxs.append(np.arange(S_pad, dtype=np.int32))
 
-    gi = np.array(
-        [scale_alpha(0.4), plan.mask_start, plan.mask_end, plan.k1_scaled,
-         plan.rel_bar_start, plan.rel_bar_end, L], dtype=np.int32)
-    gf = np.array([plan.perfect, 0.2, 0.1], dtype=np.float32)
+    gi = (int(scale_alpha(0.4)), int(plan.mask_start), int(plan.mask_end),
+          int(plan.k1_scaled), int(plan.rel_bar_start),
+          int(plan.rel_bar_end), L)
+    gf = (float(np.float32(plan.perfect)), 0.2, 0.1)
     statics = dict(
+        gi=gi, gf=gf,
         K=8, m=plan.m, k_units=plan.k_units, W_words=plan.W_words,
         top_bit=plan.top_bit, Wf=plan.span, plen=plan.plen,
         Wb=plan.barcode_window, P=plan.n_patterns, H_cap=R_pad + S_pad,
@@ -140,7 +141,7 @@ def test_sharded_demux_step_matches_single_device():
     out, global_hits = step(
         jnp.asarray(plan.flank), jnp.asarray(plan.patw),
         jnp.asarray(plan.patterns_all), packed_s, sidx_s, meta_s,
-        jnp.asarray(gi), jnp.asarray(gf), exc_s, rs_s,
+        exc_s, rs_s,
     )
     out = np.asarray(out)
     per_shard = (R_pad + S_pad) * comp.REC_COLS + (R_pad + S_pad) + 1
@@ -152,7 +153,7 @@ def test_sharded_demux_step_matches_single_device():
                 jnp.asarray(plan.flank), jnp.asarray(plan.patw),
                 jnp.asarray(plan.patterns_all), jnp.asarray(packs[d]),
                 jnp.asarray(sidxs[d]), jnp.asarray(metas[d]),
-                jnp.asarray(gi), jnp.asarray(gf), exc_dummy,
+                exc_dummy,
                 jnp.zeros(R_pad, dtype=jnp.int32), **statics,
             )
         )
