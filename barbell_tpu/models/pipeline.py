@@ -324,7 +324,7 @@ class JaxDemuxEngine:
         with _phase("pack_upload"):
             host_packed_dev = jnp.asarray(host_packed)
             simple_idx_dev = jnp.asarray(simple_idx)
-            meta_dev = jnp.asarray(meta)
+            meta_dev = jnp.asarray(comp.pack_meta_np(meta))
             exc_dev = jnp.asarray(exc)
             row_start_dev = jnp.asarray(row_start)
 
@@ -586,7 +586,7 @@ class JaxDemuxEngine:
 
             host_packed_dev = put(host_packed_g)
             simple_idx_dev = put(simple_idx_g)
-            meta_dev = put(meta_g)
+            meta_dev = put(comp.pack_meta_np(meta_g))
             exc_dev = put(exc_g)
             row_start_dev = put(row_start_g)
 

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .device import (
     BIG,
@@ -367,6 +368,62 @@ META_COLS = 12
 (M_TSC, M_TEC, M_TSTART, M_TEND, M_LO, M_HI, M_OFF, M_N, M_ISRC,
  M_FSIMPLE, M_BASEROW, M_NCHUNKS) = range(META_COLS)
 
+# Wire layout: the 12 logical columns ship as 6 int32 lanes (halves the
+# per-batch metadata upload on the ~30-50MB/s tunnel).  Bit budget:
+# tsc/tec/lo/hi+1 are row coordinates <= MAX_ROW_LEN(8192) < 2**14,
+# off/n/fsimple keep full 32 bits (chunk offsets / read lengths are
+# unbounded), baserow < 2**16 rows, nchunks < 2**15 chunks.
+META_WIRE_COLS = 6
+
+
+def pack_meta_np(meta) -> np.ndarray:
+    """[R, META_COLS] logical int32 -> [R, META_WIRE_COLS] wire int32."""
+    m = np.ascontiguousarray(meta, dtype=np.int64)
+    tsc, tec = m[:, M_TSC], m[:, M_TEC]
+    lo, hi = m[:, M_LO], m[:, M_HI]
+    baserow, nch = m[:, M_BASEROW], m[:, M_NCHUNKS]
+    assert tsc.min(initial=0) >= 0 and lo.min(initial=0) >= 0
+    assert hi.min(initial=0) >= -1 and baserow.min(initial=0) >= 0
+    assert max(tsc.max(initial=0), tec.max(initial=0),
+               lo.max(initial=0), hi.max(initial=0) + 1) < 1 << 14, \
+        "row coordinate exceeds the 14-bit meta wire field"
+    assert baserow.max(initial=0) < 1 << 16, "baserow exceeds 16 bits"
+    assert 0 <= nch.min(initial=0) and nch.max(initial=0) < 1 << 15, \
+        "nchunks exceeds 15 bits"
+    out = np.empty((m.shape[0], META_WIRE_COLS), dtype=np.int32)
+    out[:, 0] = tsc | (tec << 16)
+    out[:, 1] = (
+        lo
+        | ((m[:, M_TSTART] != 0) << 14)
+        | ((m[:, M_TEND] != 0) << 15)
+        | ((hi + 1) << 16)
+        | ((m[:, M_ISRC] != 0) << 30)
+    )
+    out[:, 2] = m[:, M_OFF]
+    out[:, 3] = m[:, M_N]
+    out[:, 4] = m[:, M_FSIMPLE]
+    out[:, 5] = baserow | (nch << 16)
+    return out
+
+
+def _unpack_meta(meta):
+    """Device-side inverse of :func:`pack_meta_np` -> [R, META_COLS]."""
+    c0, c1, c5 = meta[:, 0], meta[:, 1], meta[:, 5]
+    cols = [None] * META_COLS
+    cols[M_TSC] = c0 & 0xFFFF
+    cols[M_TEC] = c0 >> 16  # c0 >= 0: arithmetic shift is logical here
+    cols[M_TSTART] = (c1 >> 14) & 1
+    cols[M_TEND] = (c1 >> 15) & 1
+    cols[M_LO] = c1 & 0x3FFF
+    cols[M_HI] = ((c1 >> 16) & 0x3FFF) - 1
+    cols[M_OFF] = meta[:, 2]
+    cols[M_N] = meta[:, 3]
+    cols[M_ISRC] = (c1 >> 30) & 1
+    cols[M_FSIMPLE] = meta[:, 4]
+    cols[M_BASEROW] = c5 & 0xFFFF
+    cols[M_NCHUNKS] = c5 >> 16
+    return jnp.stack(cols, axis=1)
+
 
 @functools.partial(
     jax.jit,
@@ -382,7 +439,8 @@ def demux_call(
     patterns_all,  # [2P, m] u8: fwd pattern stack then rc stack
     host_packed,  # [R_host_pad, L/2] nibble-packed rows
     simple_idx,  # [S_pad] host-row indices of fwd simple reads
-    meta,  # [R_total_pad, META_COLS] int32 per-row metadata
+    meta,  # [R_total_pad, META_WIRE_COLS] int32 packed per-row metadata
+    #     (see pack_meta_np; unpacked to META_COLS on device)
     exc,  # [E, 2] int32 (flat_pos, mask) exceptions (2-bit modes; dummy otherwise)
     row_start,  # [R_host] int32 byte starts (pack_mode 2; dummy otherwise)
     *,
@@ -426,6 +484,7 @@ def demux_call(
         jnp.int32(v) for v in gi
     )
     perfect, min_score, min_score_diff = (jnp.float32(v) for v in gf)
+    meta = _unpack_meta(meta)
 
     if pack_mode == 2:
         R_host = row_start.shape[0]

@@ -576,3 +576,47 @@ def test_engine_pallas_split_rank_matches_oracle():
     for rid, seq, rows in zip(ids, seqs, got):
         want = scalar.demux(rid, seq)
         assert rows == want, f"{rid}: {rows} != {want}"
+
+
+def test_meta_wire_roundtrip():
+    """pack_meta_np/_unpack_meta must be exact inverses over the full
+    documented field ranges (14-bit row coords, 32-bit off/n/fsimple,
+    16-bit baserow, 15-bit nchunks), including the -1 sentinels."""
+    import jax
+
+    from barbell_tpu.ops import composite as comp
+
+    rng = np.random.default_rng(7)
+    R = 513
+    meta = np.zeros((R, comp.META_COLS), dtype=np.int32)
+    meta[:, comp.M_TSC] = rng.integers(0, 1 << 14, R)
+    meta[:, comp.M_TEC] = rng.integers(0, 1 << 14, R)
+    meta[:, comp.M_TSTART] = rng.integers(0, 2, R)
+    meta[:, comp.M_TEND] = rng.integers(0, 2, R)
+    meta[:, comp.M_LO] = rng.integers(0, 1 << 14, R)
+    meta[:, comp.M_HI] = rng.integers(-1, (1 << 14) - 1, R)
+    meta[:, comp.M_OFF] = rng.integers(0, 2**31 - 1, R)
+    meta[:, comp.M_N] = rng.integers(0, 2**31 - 1, R)
+    meta[:, comp.M_ISRC] = rng.integers(0, 2, R)
+    meta[:, comp.M_FSIMPLE] = rng.integers(-1, 1 << 17, R)
+    meta[:, comp.M_BASEROW] = rng.integers(0, 1 << 16, R)
+    meta[:, comp.M_NCHUNKS] = rng.integers(0, 1 << 15, R)
+    # boundary rows: all-zero, all-max, the M_HI=-1 init row
+    meta[0] = 0
+    meta[1] = ((1 << 14) - 1, (1 << 14) - 1, 1, 1, (1 << 14) - 1,
+               (1 << 14) - 2, 2**31 - 1, 2**31 - 1, 1, 2**31 - 1,
+               (1 << 16) - 1, (1 << 15) - 1)
+    meta[2] = 0
+    meta[2, comp.M_HI] = -1
+    meta[2, comp.M_FSIMPLE] = -1
+
+    wire = comp.pack_meta_np(meta)
+    assert wire.shape == (R, comp.META_WIRE_COLS)
+    back = np.asarray(jax.jit(comp._unpack_meta)(wire))
+    assert np.array_equal(back, meta)
+
+    # out-of-range coordinates must refuse to pack, not corrupt
+    bad = meta.copy()
+    bad[5, comp.M_TEC] = 1 << 14
+    with pytest.raises(AssertionError):
+        comp.pack_meta_np(bad)

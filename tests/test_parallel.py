@@ -129,7 +129,7 @@ def test_sharded_demux_step_matches_single_device():
     packed_s, meta_s, sidx_s = shard_rows(
         mesh,
         np.concatenate(packs, axis=0),
-        np.concatenate(metas, axis=0),
+        comp.pack_meta_np(np.concatenate(metas, axis=0)),
         np.concatenate(sidxs, axis=0),
     )
     step = sharded_demux_step(mesh, **statics)
@@ -152,7 +152,7 @@ def test_sharded_demux_step_matches_single_device():
             comp.demux_call(
                 jnp.asarray(plan.flank), jnp.asarray(plan.patw),
                 jnp.asarray(plan.patterns_all), jnp.asarray(packs[d]),
-                jnp.asarray(sidxs[d]), jnp.asarray(metas[d]),
+                jnp.asarray(sidxs[d]), jnp.asarray(comp.pack_meta_np(metas[d])),
                 exc_dummy,
                 jnp.zeros(R_pad, dtype=jnp.int32), **statics,
             )
