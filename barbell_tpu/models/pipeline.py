@@ -460,29 +460,50 @@ class JaxDemuxEngine:
                 L, force_nibble=force_nibble,
             )
 
-        simple_idx = np.zeros(S_pad, dtype=np.int32)
-        # rc simple rows occupy device rows [R_host_pad, R_host_pad + S)
-        rows_meta = list(plan.rows_meta)
-        row_of_meta: List[int] = list(range(plan.R_host))
-        for i, ridx in enumerate(plan.simple_reads):
-            simple_idx[i] = plan.fwd_simple_row[ridx]
-            n = int(lens[ridx])
-            tsc = L - n
-            rows_meta.append(_Row(Strand.Rc, ridx, 0, tsc, L, True, True, tsc, L))
-            row_of_meta.append(R_host_pad + i)
-
         meta = np.zeros((R_total_pad, comp.META_COLS), dtype=np.int32)
         meta[:, comp.M_HI] = -1
         row_read = np.full(R_total_pad, -1, dtype=np.int64)
-        for mi, rowm in enumerate(rows_meta):
-            r = row_of_meta[mi]
+        simple_idx = np.zeros(S_pad, dtype=np.int32)
+
+        # Simple reads fill rows [0, S) (fwd, appended first by
+        # _plan_shard) and [R_host_pad, R_host_pad + S) (their rc
+        # twins): per-batch ~2*BATCH rows, built as column-vector ops —
+        # a per-row Python loop here costs ~10ms/batch on the 1-core
+        # bench host, squarely on the pipelined hot path.
+        S = plan.S
+        if S:
+            sr = np.asarray(plan.simple_reads, dtype=np.int64)
+            ns = np.asarray(lens, dtype=np.int64)[sr].astype(np.int32)
+            idx = np.arange(S, dtype=np.int32)
+            fwd = meta[:S]
+            fwd[:, comp.M_TEC] = ns
+            fwd[:, comp.M_TSTART] = 1
+            fwd[:, comp.M_TEND] = 1
+            fwd[:, comp.M_HI] = ns
+            fwd[:, comp.M_N] = ns
+            fwd[:, comp.M_FSIMPLE] = idx
+            fwd[:, comp.M_NCHUNKS] = 1
+            rc = meta[R_host_pad : R_host_pad + S]
+            rc[:, comp.M_TSC] = L - ns
+            rc[:, comp.M_TEC] = L
+            rc[:, comp.M_TSTART] = 1
+            rc[:, comp.M_TEND] = 1
+            rc[:, comp.M_LO] = L - ns
+            rc[:, comp.M_HI] = L
+            rc[:, comp.M_N] = ns
+            rc[:, comp.M_ISRC] = 1
+            rc[:, comp.M_FSIMPLE] = idx
+            rc[:, comp.M_NCHUNKS] = 1
+            row_read[:S] = sr
+            row_read[R_host_pad : R_host_pad + S] = sr
+            simple_idx[:S] = idx
+
+        # Long-read chunk rows [S, R_host): few per batch, loop is fine.
+        for mi in range(S, plan.R_host):
+            rowm = plan.rows_meta[mi]
             ridx = rowm.read_idx
-            if ridx in plan.fwd_simple_row:
-                fsimple, brow, nch = plan.fwd_simple_row[ridx], 0, 1
-            else:
-                cover = plan.fwd_cover[ridx]
-                fsimple, brow, nch = -1, cover[0][1], len(cover)
-            meta[r] = (
+            cover = plan.fwd_cover[ridx]
+            meta[mi] = (
                 rowm.tsc,
                 rowm.tec,
                 int(rowm.true_start),
@@ -492,11 +513,11 @@ class JaxDemuxEngine:
                 rowm.offset,
                 int(lens[ridx]),
                 int(rowm.strand is Strand.Rc),
-                fsimple,
-                brow,
-                nch,
+                -1,
+                cover[0][1],
+                len(cover),
             )
-            row_read[r] = ridx
+            row_read[mi] = ridx
         return host_packed, row_start, exc, pack_mode, simple_idx, meta, row_read
 
     # ------------------------------------------------------------------
