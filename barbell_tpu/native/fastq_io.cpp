@@ -24,6 +24,9 @@
 
 #include <climits>
 #include <cstdio>
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 #include <cstdlib>
 #include <cstring>
 #include <string>
@@ -179,6 +182,87 @@ void bbio_encode_pack_rows(const unsigned char* seqs, const long* offs,
     }
 }
 
+// Encode one read span into 2-bit codes at p (zeroed, ceil(len/4)
+// bytes).  Exceptions (bytes whose IUPAC mask is not a single base)
+// are appended to exc_out as (flat_base + j, mask) int32 pairs.
+// Returns the updated exception count.
+//
+// Fast path (AVX2): chunks of 32 bytes that are pure acgtACGT encode
+// arithmetically — for those bytes lut2[c] provably equals
+// t ^ (t >> 1) with t = (c >> 1) & 3 (A0 C1 G2 T3) — and pack via
+// multiply-add, 32 bases -> 8 output bytes per iteration.  Any chunk
+// containing other bytes (U/u, IUPAC, junk) takes the scalar LUT path
+// so semantics stay exactly lut2/lutm-defined.
+static inline long encode_2bit_span(const unsigned char* s, int len,
+                                    unsigned char* p, long flat_base,
+                                    const unsigned char* lut2,
+                                    const unsigned char* lutm,
+                                    int* exc_out, long n_exc,
+                                    long exc_cap) {
+    int j = 0;
+#ifdef __AVX2__
+    const __m256i lc = _mm256_set1_epi8(0x20);
+    const __m256i ca = _mm256_set1_epi8('a');
+    const __m256i cc = _mm256_set1_epi8('c');
+    const __m256i cg = _mm256_set1_epi8('g');
+    const __m256i ct = _mm256_set1_epi8('t');
+    const __m256i three = _mm256_set1_epi8(3);
+    const __m256i one = _mm256_set1_epi8(1);
+    const __m256i mul14 = _mm256_set1_epi16(0x0401);      // bytes (1, 4)
+    const __m256i mul116 = _mm256_set1_epi32(0x00100001);  // words (1, 16)
+    const __m256i collect = _mm256_setr_epi8(
+        0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+        0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
+    for (; j + 32 <= len; j += 32) {
+        __m256i v = _mm256_loadu_si256((const __m256i*)(s + j));
+        __m256i vl = _mm256_or_si256(v, lc);
+        __m256i ok = _mm256_or_si256(
+            _mm256_or_si256(_mm256_cmpeq_epi8(vl, ca),
+                            _mm256_cmpeq_epi8(vl, cc)),
+            _mm256_or_si256(_mm256_cmpeq_epi8(vl, cg),
+                            _mm256_cmpeq_epi8(vl, ct)));
+        if (_mm256_movemask_epi8(ok) != -1) {
+            for (int e = j; e < j + 32; e++) {
+                unsigned char code = lut2[s[e]];
+                if (code > 3) {
+                    if (n_exc < exc_cap) {
+                        exc_out[2 * n_exc] = (int)(flat_base + e);
+                        exc_out[2 * n_exc + 1] = (int)(lutm[s[e]] & 0xF);
+                    }
+                    n_exc++;
+                    code = 0;  // placeholder; the exception overrides it
+                }
+                p[e >> 2] |= (unsigned char)(code << ((e & 3) * 2));
+            }
+            continue;
+        }
+        __m256i t = _mm256_and_si256(_mm256_srli_epi16(v, 1), three);
+        __m256i code = _mm256_xor_si256(
+            t, _mm256_and_si256(_mm256_srli_epi16(t, 1), one));
+        __m256i w16 = _mm256_maddubs_epi16(code, mul14);
+        __m256i w32 = _mm256_madd_epi16(w16, mul116);
+        __m256i sh = _mm256_shuffle_epi8(w32, collect);
+        unsigned int lo = (unsigned int)_mm256_extract_epi32(sh, 0);
+        unsigned int hi = (unsigned int)_mm256_extract_epi32(sh, 4);
+        memcpy(p + (j >> 2), &lo, 4);
+        memcpy(p + (j >> 2) + 4, &hi, 4);
+    }
+#endif
+    for (; j < len; j++) {
+        unsigned char code = lut2[s[j]];
+        if (code > 3) {
+            if (n_exc < exc_cap) {
+                exc_out[2 * n_exc] = (int)(flat_base + j);
+                exc_out[2 * n_exc + 1] = (int)(lutm[s[j]] & 0xF);
+            }
+            n_exc++;
+            code = 0;  // placeholder; the exception overrides it
+        }
+        p[j >> 2] |= (unsigned char)(code << ((j & 3) * 2));
+    }
+    return n_exc;
+}
+
 // 2-bit variant: A/C/G/T pack 4 bases/byte (half the host->device wire
 // bytes of the nibble form); any byte whose IUPAC mask is not a single
 // base (N, degenerate codes, junk) is emitted as an exception PAIR
@@ -197,22 +281,10 @@ long bbio_encode_pack2_rows(const unsigned char* seqs, const long* offs,
     const int quarter = L / 4;
     long n_exc = 0;
     for (int i = 0; i < n; i++) {
-        const unsigned char* s = seqs + offs[i];
         unsigned char* p = out + (long)i * quarter;
-        const int len = lens[i];
         memset(p, 0, quarter);
-        for (int j = 0; j < len; j++) {
-            unsigned char code = lut2[s[j]];
-            if (code > 3) {
-                if (n_exc < exc_cap) {
-                    exc_out[2 * n_exc] = (int)((long)i * L + j);
-                    exc_out[2 * n_exc + 1] = (int)(lutm[s[j]] & 0xF);
-                }
-                n_exc++;
-                code = 0;  // placeholder; the exception overrides it
-            }
-            p[j >> 2] |= (unsigned char)(code << ((j & 3) * 2));
-        }
+        n_exc = encode_2bit_span(seqs + offs[i], lens[i], p, (long)i * L,
+                                 lut2, lutm, exc_out, n_exc, exc_cap);
     }
     return n_exc;
 }
@@ -230,22 +302,10 @@ long bbio_encode_pack2_cat(const unsigned char* seqs, const long* offs,
                            int* exc_out, long exc_cap) {
     long n_exc = 0;
     for (int i = 0; i < n; i++) {
-        const unsigned char* s = seqs + offs[i];
         unsigned char* p = out + starts[i];
-        const int len = lens[i];
-        memset(p, 0, (len + 3) / 4);
-        for (int j = 0; j < len; j++) {
-            unsigned char code = lut2[s[j]];
-            if (code > 3) {
-                if (n_exc < exc_cap) {
-                    exc_out[2 * n_exc] = (int)((long)i * L + j);
-                    exc_out[2 * n_exc + 1] = (int)(lutm[s[j]] & 0xF);
-                }
-                n_exc++;
-                code = 0;
-            }
-            p[j >> 2] |= (unsigned char)(code << ((j & 3) * 2));
-        }
+        memset(p, 0, (lens[i] + 3) / 4);
+        n_exc = encode_2bit_span(seqs + offs[i], lens[i], p, (long)i * L,
+                                 lut2, lutm, exc_out, n_exc, exc_cap);
     }
     return n_exc;
 }
