@@ -234,6 +234,13 @@ class JaxDemuxEngine:
             self.mesh = make_mesh(self.devices)
 
         self._on_cpu = jax.devices()[0].platform == "cpu"
+        # Single-device batches fuse every per-batch host array into ONE
+        # uint8 upload (comp.demux_call_mono): the remote tunnel charges
+        # fixed per-transfer overhead, so five small uploads per batch
+        # cost more than one blob.  BARBELL_MONO_UPLOAD=0 restores
+        # separate uploads (debug aid; the sharded path always uploads
+        # per-array because shards need NamedSharding placements).
+        self.mono_upload = _os.environ.get("BARBELL_MONO_UPLOAD", "1") != "0"
         if use_pallas is None:
             # Interpret-mode pallas on CPU is only for targeted tests.
             use_pallas = not self._on_cpu
@@ -321,12 +328,26 @@ class JaxDemuxEngine:
             plan, seq_bytes, lens, L, R_host_pad, S_pad
         )
 
-        with _phase("pack_upload"):
-            host_packed_dev = jnp.asarray(host_packed)
-            simple_idx_dev = jnp.asarray(simple_idx)
-            meta_dev = jnp.asarray(comp.pack_meta_np(meta))
-            exc_dev = jnp.asarray(exc)
-            row_start_dev = jnp.asarray(row_start)
+        if self.mono_upload:
+            # ONE wire transfer per batch: the tunnel charges fixed
+            # per-transfer overhead, so five small uploads cost more
+            # than one fused buffer (demux_call_mono slices on device).
+            with _phase("pack_upload"):
+                blob, spans = comp.build_blob_np(
+                    host_packed, simple_idx, comp.pack_meta_np(meta), exc,
+                    row_start,
+                )
+                dev_in = ("mono", jnp.asarray(blob), spans)
+        else:
+            with _phase("pack_upload"):
+                dev_in = (
+                    "multi",
+                    jnp.asarray(host_packed),
+                    jnp.asarray(simple_idx),
+                    jnp.asarray(comp.pack_meta_np(meta)),
+                    jnp.asarray(exc),
+                    jnp.asarray(row_start),
+                )
 
         results: List[List[BarbellMatch]] = [[] for _ in seqs]
         overflow_reads: set = set()
@@ -338,8 +359,7 @@ class JaxDemuxEngine:
         for gplan in self.plans:
             with _phase("demux_call.dispatch"):
                 out_dev = self._dispatch_group(
-                    gplan, host_packed_dev, simple_idx_dev, meta_dev,
-                    exc_dev, row_start_dev, pack_mode, L, step, H_cap
+                    gplan, dev_in, pack_mode, L, step, H_cap
                 )
             pending.append((gplan, out_dev))
 
@@ -347,8 +367,9 @@ class JaxDemuxEngine:
             with _phase("demux_call.fetch"):
                 out_np = np.asarray(out_dev)
             cap = H_cap
-            rec = out_np[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
-            counts = out_np[cap * comp.REC_COLS : cap * comp.REC_COLS + R_total_pad]
+            wcols, wbits = self._rec_wire(gplan, L, R_total_pad)
+            rec = self._unpack_rec(out_np, cap, wcols, wbits)
+            counts = out_np[cap * wcols : cap * wcols + R_total_pad]
             total = int(out_np[-1])
             if total > cap:
                 # Hit-dense batch (many constructs per read): one retry
@@ -356,12 +377,11 @@ class JaxDemuxEngine:
                 cap = _pow2_at_least(total, lo=4 * H_cap)
                 out_np = np.asarray(
                     self._dispatch_group(
-                        gplan, host_packed_dev, simple_idx_dev, meta_dev,
-                        exc_dev, row_start_dev, pack_mode, L, step, cap
+                        gplan, dev_in, pack_mode, L, step, cap
                     )
                 )
-                rec = out_np[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
-                counts = out_np[cap * comp.REC_COLS : cap * comp.REC_COLS + R_total_pad]
+                rec = self._unpack_rec(out_np, cap, wcols, wbits)
+                counts = out_np[cap * wcols : cap * wcols + R_total_pad]
                 total = int(out_np[-1])
                 if total > cap:
                     overflow_reads.update(range(B))
@@ -628,7 +648,8 @@ class JaxDemuxEngine:
             with _phase("demux_call.fetch"):
                 out_np = np.asarray(out_dev)
             cap = H_cap
-            per_shard = cap * comp.REC_COLS + R_total_pad + 1
+            wcols, wbits = self._rec_wire(gplan, L, R_total_pad)
+            per_shard = cap * wcols + R_total_pad + 1
             totals = [int(out_np[(d + 1) * per_shard - 1]) for d in range(D)]
             if max(totals) > cap:
                 cap = _pow2_at_least(max(totals), lo=4 * H_cap)
@@ -638,7 +659,7 @@ class JaxDemuxEngine:
                         exc_dev, row_start_dev, pack_mode, L, step, cap
                     )
                 )
-                per_shard = cap * comp.REC_COLS + R_total_pad + 1
+                per_shard = cap * wcols + R_total_pad + 1
                 totals = [
                     int(out_np[(d + 1) * per_shard - 1]) for d in range(D)
                 ]
@@ -647,8 +668,8 @@ class JaxDemuxEngine:
                     continue
             for d in range(D):
                 o = out_np[d * per_shard : (d + 1) * per_shard]
-                rec = o[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
-                counts = o[cap * comp.REC_COLS : cap * comp.REC_COLS + R_total_pad]
+                rec = self._unpack_rec(o, cap, wcols, wbits)
+                counts = o[cap * wcols : cap * wcols + R_total_pad]
                 for r in np.nonzero(counts > self.K)[0]:
                     if row_reads[d][r] >= 0:
                         overflow_reads.add(int(row_reads[d][r]))
@@ -926,20 +947,29 @@ class JaxDemuxEngine:
         )
         return gi, gf
 
+    def _rec_wire(self, gplan: _GroupPlan, L: int, R_total_pad: int):
+        """(wire_cols, wbits) of the hit-record wire layout — must agree
+        with demux_call's rec_wire_spec on the same statics."""
+        wbits = comp.rec_wire_spec(
+            L, R_total_pad, gplan.k_units, gplan.n_patterns, gplan.plen,
+            gplan.barcode_window,
+        )
+        if wbits is None:
+            return comp.REC_COLS, None
+        return comp.REC_WIRE_COLS, wbits
+
+    @staticmethod
+    def _unpack_rec(out_np, cap, wcols, wbits):
+        if wbits is None:
+            return out_np[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
+        return comp.unpack_rec_np(out_np, cap, wbits)
+
     def _dispatch_group(
-        self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
-        exc_dev, row_start_dev, pack_mode: int, L: int, step: int, H_cap: int,
+        self, gplan: _GroupPlan, dev_in, pack_mode: int, L: int, step: int,
+        H_cap: int,
     ):
         gi, gf = self._group_scalars(gplan, step)
-        return comp.demux_call(
-            gplan.flank_dev,
-            gplan.patw_dev,
-            gplan.patterns_all_dev,
-            host_packed_dev,
-            simple_idx_dev,
-            meta_dev,
-            exc_dev,
-            row_start_dev,
+        statics = dict(
             gi=gi,
             gf=gf,
             K=self.K,
@@ -957,6 +987,19 @@ class JaxDemuxEngine:
             interpret=self._on_cpu,
             pack_mode=pack_mode,
             L_rows=L,
+        )
+        if dev_in[0] == "mono":
+            _, blob_dev, spans = dev_in
+            return comp.demux_call_mono(
+                gplan.flank_dev, gplan.patw_dev, gplan.patterns_all_dev,
+                blob_dev, spans=spans, **statics,
+            )
+        (_, host_packed_dev, simple_idx_dev, meta_dev, exc_dev,
+         row_start_dev) = dev_in
+        return comp.demux_call(
+            gplan.flank_dev, gplan.patw_dev, gplan.patterns_all_dev,
+            host_packed_dev, simple_idx_dev, meta_dev, exc_dev,
+            row_start_dev, **statics,
         )
 
     def _assemble(

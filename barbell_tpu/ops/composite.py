@@ -98,11 +98,14 @@ def _slab_windows(rows, row_idx, starts, W: int):
 
     The flat per-element ``jnp.take`` formulation was ~11ms per call on
     hardware for [4-8k, ~127] windows out of a 16MB row matrix; slab
-    slices gather whole (1, nsub, 128) chunks (cheap) and the remaining
-    take_along_axis runs over a [H, nsub*128] operand with perfect
-    locality.  Starts must be >= 0 (true for every caller); columns
-    past the row or window are masked by the callers, so clamp
-    artifacts are never read."""
+    slices gather whole (1, nsub, 32) uint32 chunks (cheap) and the
+    remaining take_along_axis runs over a [H, nsub*32] uint32 operand
+    with perfect locality — gathering the CONTAINING 4-byte word and
+    extracting the byte in-register, because a u8 take_along_axis
+    fights the VPU's (4, 1) byte packing (~2x slower measured).
+    Starts must be >= 0 (true for every caller); columns past the row
+    or window are masked by the callers, so clamp artifacts are never
+    read."""
     R, L = rows.shape
     H = row_idx.shape[0]
     nsub = W // 128 + 2
@@ -111,28 +114,35 @@ def _slab_windows(rows, row_idx, starts, W: int):
         cols = jnp.minimum(starts[:, None] + jpos[None, :], L - 1)
         flat = row_idx.astype(jnp.int32)[:, None] * L + cols
         return jnp.take(rows.reshape(-1), flat)
-    rows3 = rows.reshape(R, L // 128, 128)
+    # rows as little-endian u32 words: byte j of row r lives in word
+    # j // 4 at bit 8 * (j % 4)
+    rows32 = jax.lax.bitcast_convert_type(
+        rows.reshape(R, L // 128, 32, 4), jnp.uint32
+    )
     sub = jnp.minimum(
         jnp.clip(starts, 0, L - 1) // 128, jnp.int32(L // 128 - nsub)
     )
     slabs = jax.lax.gather(
-        rows3,
+        rows32,
         jnp.stack([row_idx.astype(jnp.int32), sub], axis=1),
         jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 2),
             collapsed_slice_dims=(0,),
             start_index_map=(0, 1),
         ),
-        slice_sizes=(1, nsub, 128),
+        slice_sizes=(1, nsub, 32),
         mode="clip",
-    ).reshape(H, nsub * 128)
+    ).reshape(H, nsub * 32)
     off = starts - sub * 128
     cols = jnp.clip(
         off[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :],
         0,
         nsub * 128 - 1,
     )
-    return jnp.take_along_axis(slabs, cols, axis=1)
+    words = jnp.take_along_axis(slabs, cols >> 2, axis=1)
+    return (
+        words >> ((cols & 3).astype(jnp.uint32) << 3)
+    ).astype(jnp.uint8)
 
 
 def _window_cols(rows, starts, W):
@@ -155,27 +165,29 @@ def _assemble_rows2cat(flat_codes, row_start, exc, hlen, simple_idx, L):
     padded row width); the device scatters each row's ceil(len/4) code
     bytes into the padded layout, then proceeds as _assemble_rows2.
 
-    Row starts are 128-byte aligned by the host packer, so the scatter
-    runs as a SLICE gather of (Q/128, 128)-byte chunks — the
-    per-element ``jnp.take`` formulation was the single most expensive
-    op in the fused call (~17ms per 2048-read batch on hardware; the
-    slice form is nearly free).  Small row widths (Q % 128 != 0, tests
-    only) keep the element gather."""
+    Row starts are 128-byte aligned by the host packer, so the gather
+    runs over whole 128-byte slabs — the per-element ``jnp.take``
+    formulation was the single most expensive op in the fused call
+    (~17ms per 2048-read batch on hardware).  One (1, 128) slab per
+    index (row r's slabs are ``row_start[r]//128 + [0, Q/128)``) keeps
+    XLA on the vectorized row-gather path; a single (Q/128, 128) slice
+    per row lowered to a sequential 2048-iteration while loop of
+    dynamic-slices (~4ms/batch in the device trace).  Small row widths
+    (Q % 128 != 0, tests only) keep the element gather."""
     R0 = row_start.shape[0]
     Q = L // 4
     if Q % 128 == 0:
         flat2 = flat_codes.reshape(-1, 128)
-        b = jax.lax.gather(
-            flat2,
-            (row_start // 128)[:, None],
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1, 2),
-                collapsed_slice_dims=(),
-                start_index_map=(0,),
-            ),
-            slice_sizes=(Q // 128, 128),
-            mode="clip",
-        ).reshape(R0, Q).astype(jnp.int32)
+        slab_idx = (
+            (row_start // 128)[:, None]
+            + jnp.arange(Q // 128, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+        slab_idx = jnp.clip(slab_idx, 0, flat2.shape[0] - 1)
+        b = (
+            jnp.take(flat2, slab_idx, axis=0)
+            .reshape(R0, Q)
+            .astype(jnp.int32)
+        )
     else:
         qpos = jnp.arange(Q, dtype=jnp.int32)
         idx = jnp.clip(
@@ -363,6 +375,59 @@ REC_COLS = 14
  REC_ACC, REC_IVPJ, REC_IVEJ, REC_IVPI, REC_IVEI, REC_IVCOST,
  REC_HASIV) = range(REC_COLS)
 
+# Packed wire layout: 6 int32 lanes per hit instead of 14 (the output
+# fetch rides the same ~30MB/s tunnel as the upload, so record bytes
+# are a first-order throughput term).  Bit layout (rec_wire_spec
+# guards every width statically; wbits = (Wb + 2).bit_length()):
+#   lane 0: row (17) | col << 17 (14)
+#   lane 1: top (8) | has2 << 8 | accepted << 9 | flank_cost << 10 (21)
+#   lane 2: bstart   (read coordinates, unpacked)
+#   lane 3: fs_text  (read coordinates, unpacked)
+#   lane 4: iv_pj | iv_ej << wbits | iv_pi << 2*wbits | has_iv << 3*wbits
+#   lane 5: iv_ei | iv_cost << wbits (21)
+REC_WIRE_COLS = 6
+
+
+def rec_wire_spec(L, R_total, k_units, P, plen, Wb):
+    """wbits of the packed 6-lane hit record, or None when any field
+    could overflow its lane (then the unpacked 14-lane layout is used).
+    demux_call (device pack) and the engine (host unpack) must compute
+    this from the same static shapes."""
+    wbits = int(Wb + 2).bit_length()
+    ok = (
+        R_total < 2**17
+        and L + 2 < 2**14
+        and k_units * UNIT < 2**21
+        and 2 * P < 2**8
+        and plen * UNIT < 2**21
+        and 3 * wbits + 1 <= 31
+        and wbits + 21 <= 31
+    )
+    return wbits if ok else None
+
+
+def unpack_rec_np(flat, cap, wbits):
+    """[cap * REC_WIRE_COLS] packed int32 -> [cap, REC_COLS] int32."""
+    w = np.asarray(flat[: cap * REC_WIRE_COLS]).reshape(cap, REC_WIRE_COLS)
+    u = w.astype(np.uint32)
+    mask = np.uint32((1 << wbits) - 1)
+    rec = np.empty((cap, REC_COLS), dtype=np.int32)
+    rec[:, REC_ROW] = (u[:, 0] & np.uint32(0x1FFFF)).astype(np.int32)
+    rec[:, REC_COL] = (u[:, 0] >> 17).astype(np.int32)
+    rec[:, REC_TOP] = (u[:, 1] & np.uint32(0xFF)).astype(np.int32)
+    rec[:, REC_HAS] = ((u[:, 1] >> 8) & 1).astype(np.int32)
+    rec[:, REC_ACC] = ((u[:, 1] >> 9) & 1).astype(np.int32)
+    rec[:, REC_COST] = (u[:, 1] >> 10).astype(np.int32)
+    rec[:, REC_BSTART] = w[:, 2]
+    rec[:, REC_FSTEXT] = w[:, 3]
+    rec[:, REC_IVPJ] = (u[:, 4] & mask).astype(np.int32)
+    rec[:, REC_IVEJ] = ((u[:, 4] >> wbits) & mask).astype(np.int32)
+    rec[:, REC_IVPI] = ((u[:, 4] >> (2 * wbits)) & mask).astype(np.int32)
+    rec[:, REC_HASIV] = ((u[:, 4] >> (3 * wbits)) & 1).astype(np.int32)
+    rec[:, REC_IVEI] = (u[:, 5] & mask).astype(np.int32)
+    rec[:, REC_IVCOST] = (u[:, 5] >> wbits).astype(np.int32)
+    return rec
+
 # Column layout of the per-row metadata matrix demux_call consumes.
 META_COLS = 12
 (M_TSC, M_TEC, M_TSTART, M_TEND, M_LO, M_HI, M_OFF, M_N, M_ISRC,
@@ -425,14 +490,14 @@ def _unpack_meta(meta):
     return jnp.stack(cols, axis=1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "gi", "gf", "K", "m", "k_units", "W_words", "top_bit", "Wf",
-        "plen", "Wb", "P", "H_cap", "padding", "use_pallas", "interpret",
-        "pack_mode", "L_rows", "_stages",
-    ),
+_DEMUX_STATICS = (
+    "gi", "gf", "K", "m", "k_units", "W_words", "top_bit", "Wf",
+    "plen", "Wb", "P", "H_cap", "padding", "use_pallas", "interpret",
+    "pack_mode", "L_rows", "_stages",
 )
+
+
+@functools.partial(jax.jit, static_argnames=_DEMUX_STATICS)
 def demux_call(
     flank,  # [m] u8 flank masks
     patw,  # [4, W_words] u32 (pallas scan path)
@@ -734,28 +799,103 @@ def demux_call(
     def gate(x, lvl):  # debug stage gating; zeros_like lets XLA DCE the stage
         return x if _stages >= lvl else jnp.zeros_like(x)
 
-    rec = jnp.stack(
-        [
-            hrow,
-            hcol,
-            hcost,
-            gate(has2.astype(jnp.int32), 2),
-            gate(bstart, 2),
-            gate(fs_text, 2),
-            gate(top, 3),
-            gate(accepted.astype(jnp.int32), 3),
-            gate(iv_vals[0], 4),
-            gate(iv_vals[1], 4),
-            gate(iv_vals[2], 4),
-            gate(iv_vals[3], 4),
-            gate(iv_vals[4], 4),
-            gate(iv_vals[5], 4),
-        ],
-        axis=1,
-    ).astype(jnp.int32)
+    wbits = rec_wire_spec(L, R, k_units, P, plen, Wb)
+    if wbits is not None:
+        # packed 6-lane wire record (see rec_wire_spec / unpack_rec_np)
+        has2_i = gate(has2.astype(jnp.int32), 2)
+        acc_i = gate(accepted.astype(jnp.int32), 3)
+        top_i = gate(top, 3)
+        hasiv_i = gate(iv_vals[5], 4)
+        ivs = [
+            jnp.where(hasiv_i != 0, gate(v, 4), 0) for v in iv_vals[:5]
+        ]
+        rec = jnp.stack(
+            [
+                hrow | (hcol << 17),
+                top_i | (has2_i << 8) | (acc_i << 9) | (hcost << 10),
+                gate(bstart, 2),
+                gate(fs_text, 2),
+                ivs[0] | (ivs[1] << wbits) | (ivs[2] << (2 * wbits))
+                | (hasiv_i << (3 * wbits)),
+                ivs[3] | (ivs[4] << wbits),
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+    else:
+        rec = jnp.stack(
+            [
+                hrow,
+                hcol,
+                hcost,
+                gate(has2.astype(jnp.int32), 2),
+                gate(bstart, 2),
+                gate(fs_text, 2),
+                gate(top, 3),
+                gate(accepted.astype(jnp.int32), 3),
+                gate(iv_vals[0], 4),
+                gate(iv_vals[1], 4),
+                gate(iv_vals[2], 4),
+                gate(iv_vals[3], 4),
+                gate(iv_vals[4], 4),
+                gate(iv_vals[5], 4),
+            ],
+            axis=1,
+        ).astype(jnp.int32)
     return jnp.concatenate(
         [rec.reshape(-1), count.astype(jnp.int32), total_out[None]]
     )
+
+
+@functools.partial(jax.jit, static_argnames=("spans",) + _DEMUX_STATICS)
+def demux_call_mono(flank, patw, patterns_all, blob, *, spans, **statics):
+    """demux_call with every per-batch host array riding ONE uint8
+    upload: the remote tunnel charges fixed per-transfer overhead, so
+    five small uploads per batch cost more than one fused buffer.
+    ``spans`` is a static tuple of (name, byte_off, shape) laid out by
+    the engine's blob builder; int32 segments are 4-byte aligned and
+    bitcast on device (little-endian on every supported backend —
+    row-identity on hardware is covered by tests/test_tpu_smoke.py)."""
+    parts = {}
+    for name, off, shape in spans:
+        n = 1
+        for s in shape:
+            n *= s
+        if name == "host_packed":
+            parts[name] = blob[off : off + n].reshape(shape)
+        else:
+            raw = blob[off : off + 4 * n]
+            parts[name] = jax.lax.bitcast_convert_type(
+                raw.reshape(n, 4), jnp.int32
+            ).reshape(shape)
+    return demux_call.__wrapped__(
+        flank, patw, patterns_all, parts["host_packed"],
+        parts["simple_idx"], parts["meta"], parts["exc"],
+        parts["row_start"], **statics,
+    )
+
+
+def build_blob_np(host_packed, simple_idx, meta_packed, exc, row_start):
+    """(blob uint8, spans) — host side of demux_call_mono's layout."""
+    segs = [
+        ("host_packed", np.ascontiguousarray(host_packed, dtype=np.uint8)),
+        ("simple_idx", np.ascontiguousarray(simple_idx, dtype=np.int32)),
+        ("meta", np.ascontiguousarray(meta_packed, dtype=np.int32)),
+        ("exc", np.ascontiguousarray(exc, dtype=np.int32)),
+        ("row_start", np.ascontiguousarray(row_start, dtype=np.int32)),
+    ]
+    spans = []
+    off = 0
+    chunks = []
+    for name, arr in segs:
+        if off % 4:
+            pad = 4 - off % 4
+            chunks.append(np.zeros(pad, dtype=np.uint8))
+            off += pad
+        spans.append((name, off, arr.shape))
+        raw = arr.reshape(-1).view(np.uint8)
+        chunks.append(raw)
+        off += raw.size
+    return np.concatenate(chunks), tuple(spans)
 
 
 def unpack_flank_scan(packed, K: int):

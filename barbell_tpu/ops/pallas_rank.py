@@ -57,7 +57,14 @@ def _kernel(pat_ref, win_ref, wlen_ref, key_ref, s_ref,
             *, m: int, W: int):
     """All cross-column state lives in VMEM scratch (vi/vf hold the
     valley tracker: prv, e_c, best_key / s_c, best_s) — fori carries of
-    vector values trip Mosaic relayout errors on this toolchain."""
+    vector values trip Mosaic relayout errors on this toolchain.
+
+    The column loop advances TWO columns per step (W is padded even by
+    the callers): the mid column's per-row state chains through
+    registers, halving the scratch loads/stores per DP cell — the
+    scratch traffic, not the arithmetic, bounded the single-column
+    form."""
+    assert W % 2 == 0, W
     shape = (SUBS, LANES)
     unit = jnp.int32(UNIT)
 
@@ -75,64 +82,72 @@ def _kernel(pat_ref, win_ref, wlen_ref, key_ref, s_ref,
 
     wlen_b = jnp.broadcast_to(wlen_ref[0, 0][None, :], shape)
 
-    def col_step(j, _):
-        tchar = jnp.broadcast_to(win_ref[j - 1, 0], shape).astype(jnp.int32)
+    def cell(pchar, tchar, dm1, left, up):
+        """One DP cell; dm1/left/up/return are (C, T1, T2, S) tuples."""
+        dm1_c, dm1_t1, dm1_t2, dm1_s = dm1
+        old_c, old_t1, old_t2, old_s = left
+        n_c, n_t1, n_t2, n_s = up
+        eq = (pchar & tchar) > 0
+        diag = dm1_c + jnp.where(eq, 0, unit)
+        lft = old_c + unit
+        up_c = n_c + unit
+        c = jnp.minimum(jnp.minimum(diag, lft), up_c)
+        diag_ok = c == diag
+        up_ok = c == up_c
+        mf = jnp.where(diag_ok & eq, 1.0, 0.0)
+        a = jnp.where(diag_ok, A_DIAG, A_GAP)
+        src_t1 = jnp.where(diag_ok, dm1_t1, jnp.where(up_ok, n_t1, old_t1))
+        src_t2 = jnp.where(diag_ok, dm1_t2, jnp.where(up_ok, n_t2, old_t2))
+        src_s = jnp.where(diag_ok, dm1_s, jnp.where(up_ok, n_s, old_s))
+        return (c, a * (src_t1 + mf), a * (src_t2 + mf * src_t1),
+                src_s + mf * a * src_t2)
 
-        # previous-column state for pattern row 0 (always zero)
-        dm1_c = tchar * 0
-        dm1_t1 = dm1_c.astype(jnp.float32)
-        dm1_t2 = dm1_t1
-        dm1_s = dm1_t1
-        n_c, n_t1, n_t2, n_s = dm1_c, dm1_t1, dm1_t2, dm1_s
+    def col_step(jj, _):
+        j = 2 * jj + 1  # columns j and j + 1 this step
+        tch_a = jnp.broadcast_to(win_ref[j - 1, 0], shape).astype(jnp.int32)
+        tch_b = jnp.broadcast_to(win_ref[j, 0], shape).astype(jnp.int32)
+
+        zi = tch_a * 0
+        zf = zi.astype(jnp.float32)
+        z4 = (zi, zf, zf, zf)  # pattern row 0 state (always zero)
+        dm1a = z4    # row i-1 @ col j-1
+        prev_a = z4  # row i-1 @ col j
+        prev_b = z4  # row i-1 @ col j+1
 
         for i in range(1, m + 1):  # static unroll over pattern rows
             pchar = pat_ref[i - 1, 0].astype(jnp.int32)
-            eq = (pchar & tchar) > 0
-            old_c = c_ref[i]
-            old_t1 = t1_ref[i]
-            old_t2 = t2_ref[i]
-            old_s = s_col_ref[i]
+            old = (c_ref[i], t1_ref[i], t2_ref[i], s_col_ref[i])
+            cell_a = cell(pchar, tch_a, dm1a, old, prev_a)
+            cell_b = cell(pchar, tch_b, prev_a, cell_a, prev_b)
+            c_ref[i] = cell_b[0]
+            t1_ref[i] = cell_b[1]
+            t2_ref[i] = cell_b[2]
+            s_col_ref[i] = cell_b[3]
+            dm1a, prev_a, prev_b = old, cell_a, cell_b
 
-            diag = dm1_c + jnp.where(eq, 0, unit)
-            left = old_c + unit
-            up = n_c + unit
-            c = jnp.minimum(jnp.minimum(diag, left), up)
-            diag_ok = c == diag
-            up_ok = c == up
-
-            mf = jnp.where(diag_ok & eq, 1.0, 0.0)
-            a = jnp.where(diag_ok, A_DIAG, A_GAP)
-            src_t1 = jnp.where(diag_ok, dm1_t1, jnp.where(up_ok, n_t1, old_t1))
-            src_t2 = jnp.where(diag_ok, dm1_t2, jnp.where(up_ok, n_t2, old_t2))
-            src_s = jnp.where(diag_ok, dm1_s, jnp.where(up_ok, n_s, old_s))
-
-            n_s = src_s + mf * a * src_t2
-            n_t2 = a * (src_t2 + mf * src_t1)
-            n_t1 = a * (src_t1 + mf)
-            n_c = c
-
-            c_ref[i] = c
-            t1_ref[i] = n_t1
-            t2_ref[i] = n_t2
-            s_col_ref[i] = n_s
-            dm1_c, dm1_t1, dm1_t2, dm1_s = old_c, old_t1, old_t2, old_s
-
-        e_next = jnp.where(j <= wlen_b, n_c, BIGK)
+        e_a = jnp.where(j <= wlen_b, prev_a[0], BIGK)
+        e_b = jnp.where(j + 1 <= wlen_b, prev_b[0], BIGK)
 
         # decide valley at position j-1 (needs its right neighbour)
         prv, e_c, best_key = vi_ref[0], vi_ref[1], vi_ref[2]
         s_c, best_s = vf_ref[0], vf_ref[1]
-        isv = (e_c <= prv) & (e_c < e_next)
+        isv = (e_c <= prv) & (e_c < e_a)
         key = e_c * 256 + (j - 1)
         better = isv & (key < best_key)
-        vi_ref[2] = jnp.where(better, key, best_key)
-        vf_ref[1] = jnp.where(better, s_c, best_s)
-        vi_ref[0] = e_c
-        vi_ref[1] = e_next
-        vf_ref[0] = n_s
+        bk = jnp.where(better, key, best_key)
+        bs = jnp.where(better, s_c, best_s)
+        # and at position j (right neighbour is column j+1)
+        isv2 = (e_a <= e_c) & (e_a < e_b)
+        key2 = e_a * 256 + j
+        better2 = isv2 & (key2 < bk)
+        vi_ref[2] = jnp.where(better2, key2, bk)
+        vf_ref[1] = jnp.where(better2, prev_a[3], bs)
+        vi_ref[0] = e_a
+        vi_ref[1] = e_b
+        vf_ref[0] = prev_b[3]
         return 0
 
-    jax.lax.fori_loop(1, W + 1, col_step, 0)
+    jax.lax.fori_loop(0, W // 2, col_step, 0)
 
     # final position j = W (right neighbour is +inf); exclude masked
     # positions — their e is BIGK and key would overflow int32
@@ -218,6 +233,9 @@ def rank_pass1_split(patterns_all, P: int, windows, w_len,
     assert Pa == 2 * P
     assert H % (2 * LANES) == 0, H
     assert W <= 255
+    if W % 2:  # kernel advances two columns per step
+        windows = jnp.pad(windows, ((0, 0), (0, 1)))
+        W += 1
 
     Pp = ((P + SUBS - 1) // SUBS) * SUBS
     if Pp != P:
@@ -260,6 +278,9 @@ def rank_pass1(patterns, windows, w_len, interpret: bool = False):
     P, m = patterns.shape
     H, W = windows.shape
     assert W <= 255, "valley key packs position into 8 bits"
+    if W % 2:  # kernel advances two columns per step
+        windows = jnp.pad(windows, ((0, 0), (0, 1)))
+        W += 1
 
     Pp = ((P + SUBS - 1) // SUBS) * SUBS
     Hp = ((H + LANES - 1) // LANES) * LANES

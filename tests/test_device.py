@@ -620,3 +620,94 @@ def test_meta_wire_roundtrip():
     bad[5, comp.M_TEC] = 1 << 14
     with pytest.raises(AssertionError):
         comp.pack_meta_np(bad)
+
+
+def test_rec_wire_roundtrip():
+    """Device-side 6-lane hit-record packing inverts exactly through
+    unpack_rec_np for every field at its width boundary."""
+    from barbell_tpu.ops import composite as comp
+    from barbell_tpu.ops.composite import UNIT
+
+    L, R, k_units, P, plen, Wb = 8192, 3072, 12, 96, 29, 45
+    wbits = comp.rec_wire_spec(L, R, k_units, P, plen, Wb)
+    assert wbits is not None
+    rng = np.random.default_rng(7)
+    cap = 64
+    rec = np.zeros((cap, comp.REC_COLS), dtype=np.int32)
+    rec[:, comp.REC_ROW] = rng.integers(0, R, cap)
+    rec[:, comp.REC_COL] = rng.integers(0, L + 2, cap)
+    rec[:, comp.REC_COST] = rng.integers(0, k_units * UNIT + 1, cap)
+    rec[:, comp.REC_HAS] = rng.integers(0, 2, cap)
+    rec[:, comp.REC_BSTART] = rng.integers(-(2**31), 2**31 - 1, cap)
+    rec[:, comp.REC_FSTEXT] = rng.integers(-(2**31), 2**31 - 1, cap)
+    rec[:, comp.REC_TOP] = rng.integers(0, 2 * P, cap)
+    rec[:, comp.REC_ACC] = rng.integers(0, 2, cap)
+    rec[:, comp.REC_HASIV] = rng.integers(0, 2, cap)
+    hasiv = rec[:, comp.REC_HASIV] != 0
+    for c in (comp.REC_IVPJ, comp.REC_IVEJ, comp.REC_IVPI, comp.REC_IVEI):
+        rec[:, c] = np.where(hasiv, rng.integers(0, Wb + 2, cap), 0)
+    rec[:, comp.REC_IVCOST] = np.where(
+        hasiv, rng.integers(0, plen * UNIT + 1, cap), 0
+    )
+    # boundary rows: all-max, all-zero
+    rec[0, comp.REC_ROW] = R - 1
+    rec[0, comp.REC_COL] = L + 1
+    rec[0, comp.REC_COST] = k_units * UNIT
+    rec[0, comp.REC_TOP] = 2 * P - 1
+    rec[0, comp.REC_HAS] = rec[0, comp.REC_ACC] = rec[0, comp.REC_HASIV] = 1
+    rec[0, comp.REC_IVPJ :] = 0
+    rec[0, comp.REC_IVPJ] = rec[0, comp.REC_IVEJ] = Wb + 1
+    rec[0, comp.REC_IVPI] = rec[0, comp.REC_IVEI] = Wb + 1
+    rec[0, comp.REC_IVCOST] = plen * UNIT
+    rec[0, comp.REC_HASIV] = 1
+    rec[1] = 0
+
+    # pack with the same lane formulas demux_call uses on device
+    u = rec.astype(np.int64)
+    wire = np.stack(
+        [
+            u[:, comp.REC_ROW] | (u[:, comp.REC_COL] << 17),
+            u[:, comp.REC_TOP]
+            | (u[:, comp.REC_HAS] << 8)
+            | (u[:, comp.REC_ACC] << 9)
+            | (u[:, comp.REC_COST] << 10),
+            u[:, comp.REC_BSTART],
+            u[:, comp.REC_FSTEXT],
+            u[:, comp.REC_IVPJ]
+            | (u[:, comp.REC_IVEJ] << wbits)
+            | (u[:, comp.REC_IVPI] << (2 * wbits))
+            | (u[:, comp.REC_HASIV] << (3 * wbits)),
+            u[:, comp.REC_IVEI] | (u[:, comp.REC_IVCOST] << wbits),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    back = comp.unpack_rec_np(wire.reshape(-1), cap, wbits)
+    assert np.array_equal(back, rec)
+
+
+def test_engine_mono_upload_matches_separate_uploads():
+    """mono_upload (one fused uint8 blob per batch) is row-identical to
+    the separate-uploads path, including the IUPAC exception list and
+    chunked long reads riding the same blob."""
+    rng = random.Random(9)
+    scalar, engine = _engine_pair(n_bars=8)
+    reads = []
+    for i in range(8):
+        bc = rng.randrange(8)
+        body = _random_read(rng, 2400 if i == 5 else rng.randrange(150, 400))
+        seq = _construct(bc) + body
+        if i == 2:
+            seq = seq[:40] + b"N" + seq[41:]  # exception-list byte
+        if i == 4:
+            seq = dna.reverse_complement_bytes(seq)
+        reads.append((f"m{i}", seq))
+    ids = [r[0] for r in reads]
+    seqs = [r[1] for r in reads]
+
+    engine.mono_upload = True
+    got_mono = engine.demux_batch(ids, seqs)
+    engine.mono_upload = False
+    got_multi = engine.demux_batch(ids, seqs)
+    assert got_mono == got_multi
+    for rid, seq, rows in zip(ids, seqs, got_mono):
+        assert rows == scalar.demux(rid, seq), rid

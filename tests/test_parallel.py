@@ -144,7 +144,15 @@ def test_sharded_demux_step_matches_single_device():
         exc_s, rs_s,
     )
     out = np.asarray(out)
-    per_shard = (R_pad + S_pad) * comp.REC_COLS + (R_pad + S_pad) + 1
+    wcols = (
+        comp.REC_COLS
+        if comp.rec_wire_spec(
+            L, R_pad + S_pad, plan.k_units, plan.n_patterns, plan.plen,
+            plan.barcode_window,
+        ) is None
+        else comp.REC_WIRE_COLS
+    )
+    per_shard = (R_pad + S_pad) * wcols + (R_pad + S_pad) + 1
 
     total = 0
     for d in range(D):
