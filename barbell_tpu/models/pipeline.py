@@ -353,15 +353,32 @@ class JaxDemuxEngine:
         overflow_reads: set = set()
         H_cap = R_total_pad
 
-        # Dispatch every group's fused call before fetching any result —
-        # multi-group kits overlap their device work.
+        # Multi-group kits ride ONE fused device call on the mono blob
+        # (a dispatch + fetch round trip per group per batch otherwise);
+        # the single-group / separate-uploads path dispatches every
+        # group before fetching any result so device work overlaps.
         pending = []
-        for gplan in self.plans:
+        if self.mono_upload and len(self.plans) > 1:
+            self.last_dispatch = "single-fused"
             with _phase("demux_call.dispatch"):
-                out_dev = self._dispatch_group(
-                    gplan, dev_in, pack_mode, L, step, H_cap
+                all_dev = self._dispatch_all_groups(
+                    dev_in, pack_mode, L, step, H_cap
                 )
-            pending.append((gplan, out_dev))
+            with _phase("demux_call.fetch"):
+                all_np = np.asarray(all_dev)
+            off = 0
+            for gplan in self.plans:
+                wcols, _ = self._rec_wire(gplan, L, R_total_pad)
+                n = H_cap * wcols + R_total_pad + 1
+                pending.append((gplan, all_np[off : off + n]))
+                off += n
+        else:
+            for gplan in self.plans:
+                with _phase("demux_call.dispatch"):
+                    out_dev = self._dispatch_group(
+                        gplan, dev_in, pack_mode, L, step, H_cap
+                    )
+                pending.append((gplan, out_dev))
 
         for gplan, out_dev in pending:
             with _phase("demux_call.fetch"):
@@ -696,26 +713,7 @@ class JaxDemuxEngine:
         self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
         exc_dev, row_start_dev, pack_mode: int, L: int, step: int, H_cap: int,
     ):
-        gi, gf = self._group_scalars(gplan, step)
-        statics = dict(
-            gi=gi,
-            gf=gf,
-            K=self.K,
-            m=gplan.m,
-            k_units=gplan.k_units,
-            W_words=gplan.W_words,
-            top_bit=gplan.top_bit,
-            Wf=gplan.span,
-            plen=gplan.plen,
-            Wb=gplan.barcode_window,
-            P=gplan.n_patterns,
-            H_cap=H_cap,
-            padding=PADDING,
-            use_pallas=self.use_pallas,
-            interpret=self._on_cpu,
-            pack_mode=pack_mode,
-            L_rows=L,
-        )
+        statics = self._group_statics(gplan, pack_mode, L, step, H_cap)
         key = tuple(sorted(statics.items()))
         sstep = self._sharded_steps.get(key)
         if sstep is None:
@@ -964,12 +962,12 @@ class JaxDemuxEngine:
             return out_np[: cap * comp.REC_COLS].reshape(cap, comp.REC_COLS)
         return comp.unpack_rec_np(out_np, cap, wbits)
 
-    def _dispatch_group(
-        self, gplan: _GroupPlan, dev_in, pack_mode: int, L: int, step: int,
+    def _group_statics(
+        self, gplan: _GroupPlan, pack_mode: int, L: int, step: int,
         H_cap: int,
-    ):
+    ) -> dict:
         gi, gf = self._group_scalars(gplan, step)
-        statics = dict(
+        return dict(
             gi=gi,
             gf=gf,
             K=self.K,
@@ -988,6 +986,40 @@ class JaxDemuxEngine:
             pack_mode=pack_mode,
             L_rows=L,
         )
+
+    def _dispatch_all_groups(
+        self, dev_in, pack_mode: int, L: int, step: int, H_cap: int
+    ):
+        """ONE device call covering every group on the mono blob (a
+        dispatch + fetch round trip per group per batch otherwise)."""
+        _, blob_dev, spans = dev_in
+        common = dict(
+            K=self.K, H_cap=H_cap, padding=PADDING,
+            use_pallas=self.use_pallas, interpret=self._on_cpu,
+            pack_mode=pack_mode, L_rows=L,
+        )
+        group_statics = []
+        for gplan in self.plans:
+            st = self._group_statics(gplan, pack_mode, L, step, H_cap)
+            group_statics.append(
+                tuple(sorted((k, v) for k, v in st.items() if k not in common))
+            )
+        return comp.demux_call_fused(
+            tuple(
+                (g.flank_dev, g.patw_dev, g.patterns_all_dev)
+                for g in self.plans
+            ),
+            blob_dev,
+            spans=spans,
+            group_statics=tuple(group_statics),
+            common=tuple(sorted(common.items())),
+        )
+
+    def _dispatch_group(
+        self, gplan: _GroupPlan, dev_in, pack_mode: int, L: int, step: int,
+        H_cap: int,
+    ):
+        statics = self._group_statics(gplan, pack_mode, L, step, H_cap)
         if dev_in[0] == "mono":
             _, blob_dev, spans = dev_in
             return comp.demux_call_mono(

@@ -855,6 +855,16 @@ def demux_call_mono(flank, patw, patterns_all, blob, *, spans, **statics):
     the engine's blob builder; int32 segments are 4-byte aligned and
     bitcast on device (little-endian on every supported backend —
     row-identity on hardware is covered by tests/test_tpu_smoke.py)."""
+    parts = _blob_parts(blob, spans)
+    return demux_call.__wrapped__(
+        flank, patw, patterns_all, parts["host_packed"],
+        parts["simple_idx"], parts["meta"], parts["exc"],
+        parts["row_start"], **statics,
+    )
+
+
+def _blob_parts(blob, spans):
+    """Slice the fused upload back into named device arrays (traced)."""
     parts = {}
     for name, off, shape in spans:
         n = 1
@@ -867,11 +877,32 @@ def demux_call_mono(flank, patw, patterns_all, blob, *, spans, **statics):
             parts[name] = jax.lax.bitcast_convert_type(
                 raw.reshape(n, 4), jnp.int32
             ).reshape(shape)
-    return demux_call.__wrapped__(
-        flank, patw, patterns_all, parts["host_packed"],
-        parts["simple_idx"], parts["meta"], parts["exc"],
-        parts["row_start"], **statics,
-    )
+    return parts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spans", "group_statics", "common")
+)
+def demux_call_fused(group_args, blob, *, spans, group_statics, common):
+    """EVERY group's fused demux in one device call on one uploaded
+    blob: multi-group configs (NBD front+rear custom runs, RBK
+    ``--use-extended``) otherwise pay a dispatch + fetch round trip per
+    group per batch on the remote tunnel.  ``group_args`` is a tuple of
+    (flank, patw, patterns_all) per group; ``group_statics`` a tuple of
+    per-group static item-tuples, ``common`` the shared statics.  The
+    output is the concatenation of each group's packed buffer in plan
+    order (lengths differ per group via its wire-record layout)."""
+    parts = _blob_parts(blob, spans)
+    outs = []
+    for (flank, patw, patterns_all), st in zip(group_args, group_statics):
+        outs.append(
+            demux_call.__wrapped__(
+                flank, patw, patterns_all, parts["host_packed"],
+                parts["simple_idx"], parts["meta"], parts["exc"],
+                parts["row_start"], **dict(st), **dict(common),
+            )
+        )
+    return jnp.concatenate(outs)
 
 
 def build_blob_np(host_packed, simple_idx, meta_packed, exc, row_start):

@@ -361,3 +361,17 @@ def test_engine_matches_oracle_use_extended(tmp_path):
     got = engine.demux_batch(ids, seqs)
     for rid, seq, rows in zip(ids, seqs, got):
         assert rows == d.demux(rid, seq), rid
+
+    # On a single device, multi-group + mono upload must take the
+    # one-call-per-batch fused dispatch (demux_call_fused) and stay
+    # row-identical to both the per-group dispatch and the mesh run.
+    import jax
+
+    e1 = JaxDemuxEngine(groups, devices=jax.devices()[:1])
+    got_fused = e1.demux_batch(ids, seqs)
+    assert e1.last_dispatch == "single-fused"
+    assert got_fused == got
+    e1.mono_upload = False
+    got_sep = e1.demux_batch(ids, seqs)
+    assert e1.last_dispatch == "single"
+    assert got_sep == got
