@@ -49,7 +49,7 @@ from .records import BarbellMatch, Strand, rel_dist_to_end
 MAX_ROW_LEN = 8192  # chunk width for long reads
 MAX_HITS_PER_ROW = 16  # K for valley compaction
 _EXC_CAP = 4096  # non-ACGT bytes per batch before nibble fallback
-_CAT_BUCKET = 512 * 1024  # concatenated-code buffer size granularity
+_CAT_BUCKET = 128 * 1024  # concatenated-code buffer size floor
 
 # Env-gated phase timing (BARBELL_TIMING=1): accumulates wall-clock per
 # pipeline phase into TIMINGS {name: [seconds, calls]}.  Device fetches
@@ -115,6 +115,28 @@ def _pow2_at_least(x: int, lo: int = 8) -> int:
     while n < x:
         n *= 2
     return n
+
+
+def _mantissa_bucket(x: int, lo: int) -> int:
+    """Smallest m * 2**e >= x with m in [8, 16]: 1/8-octave size
+    buckets bound padding waste at 12.5% where a pow2 bucket wastes up
+    to 2x, at the cost of more distinct compiled shapes.  Results for
+    x > lo are multiples of 2**(bit_length(x-1) - 4)."""
+    if x <= lo:
+        return lo
+    e = (x - 1).bit_length() - 4
+    return (-(-x >> e)) << e
+
+
+# Row-count buckets default to pow2 (fewest compiled shapes; every new
+# shape is a multi-minute executable load on the remote backend).
+# BARBELL_FINE_ROWS=1 switches to 1/8-octave buckets: up to ~45% less
+# padded device compute + fetch per batch once the shapes are cached.
+_FINE_ROWS = _os.environ.get("BARBELL_FINE_ROWS", "0") == "1"
+
+
+def _row_bucket(x: int, lo: int = 8) -> int:
+    return _mantissa_bucket(x, lo) if _FINE_ROWS else _pow2_at_least(x, lo)
 
 
 @dataclass
@@ -308,8 +330,8 @@ class JaxDemuxEngine:
 
         self.last_dispatch = "single"
         plan = self._plan_shard(seq_bytes, lens, range(B), L, step)
-        R_host_pad = _pow2_at_least(max(plan.R_host, 1), lo=8)
-        S_pad = _pow2_at_least(max(plan.S, 1), lo=8)
+        R_host_pad = _row_bucket(max(plan.R_host, 1), lo=8)
+        S_pad = _row_bucket(max(plan.S, 1), lo=8)
         R_total_pad = R_host_pad + S_pad
 
         # Flat row indexing (gathers, exception scatter) is int32: keep
@@ -327,6 +349,12 @@ class JaxDemuxEngine:
          row_read) = self._materialize(
             plan, seq_bytes, lens, L, R_host_pad, S_pad
         )
+        # Entries fill the exception list in order, so a sentinel at
+        # index 64 means <= 64 real entries: upload the 64-entry prefix
+        # instead of the 4096-entry worst case (pure wire; real
+        # nanopore reads rarely carry N/IUPAC bytes).
+        if exc.shape[0] > 64 and exc[64, 0] == R_host_pad * L:
+            exc = exc[:64]
 
         if self.mono_upload:
             # ONE wire transfer per batch: the tunnel charges fixed
@@ -828,7 +856,7 @@ class JaxDemuxEngine:
             starts = np.zeros(R_host_pad, dtype=np.int64)
             np.cumsum(stride[:-1], out=starts[1:])
             total = int(starts[-1] + nb[-1]) + L
-            t_pad = max(_CAT_BUCKET, -(-total // _CAT_BUCKET) * _CAT_BUCKET)
+            t_pad = _mantissa_bucket(total, _CAT_BUCKET)
             flat = np.zeros(t_pad, dtype=np.uint8)
             # (flat_pos, mask) pairs; sentinel pos = one past the padded
             # buffer, dropped by the device scatter.  demux_batch caps

@@ -711,3 +711,37 @@ def test_engine_mono_upload_matches_separate_uploads():
     assert got_mono == got_multi
     for rid, seq, rows in zip(ids, seqs, got_mono):
         assert rows == scalar.demux(rid, seq), rid
+
+
+def test_mantissa_bucket_properties():
+    from barbell_tpu.models.pipeline import _mantissa_bucket
+
+    for x in list(range(1, 300)) + [1000, 131072, 131073, 1237000, 2**20]:
+        b = _mantissa_bucket(x, 8)
+        assert b >= x
+        assert b == 8 or b <= -(-x * 9) // 8  # waste bounded at 12.5%
+        if x > 8:
+            e = (x - 1).bit_length() - 4
+            if e > 0:
+                assert b % (1 << e) == 0  # alignment (t_pad needs %128)
+
+
+def test_engine_fine_row_buckets_row_identical(monkeypatch):
+    """BARBELL_FINE_ROWS (1/8-octave row buckets) must not change any
+    result — only the padded shapes."""
+    import barbell_tpu.models.pipeline as pl
+
+    rng = random.Random(13)
+    scalar, engine = _engine_pair(n_bars=8)
+    ids, seqs = [], []
+    for i in range(20):  # R_host 20: pow2 pads to 32, mantissa to 20
+        bc = rng.randrange(8)
+        seq = _construct(bc) + _random_read(rng, rng.randrange(150, 400))
+        ids.append(f"f{i}")
+        seqs.append(seq)
+    got = engine.demux_batch(ids, seqs)
+    monkeypatch.setattr(pl, "_FINE_ROWS", True)
+    got_fine = engine.demux_batch(ids, seqs)
+    assert got_fine == got
+    for rid, seq, rows in zip(ids, seqs, got):
+        assert rows == scalar.demux(rid, seq), rid
