@@ -50,6 +50,9 @@ class CutDirection(str, Enum):
     After = "After"  # cut at match flank end
 
 
+_CUT_CACHE: dict = {}
+
+
 @dataclass(frozen=True)
 class Cut:
     """A cut marker: which slice group it belongs to and on which side.
@@ -67,6 +70,19 @@ class Cut:
 
     @staticmethod
     def from_string(s: str) -> Optional["Cut"]:
+        # Memoized: Cut is frozen and the string vocabulary is tiny
+        # (After(0)/Before(1)/...), while trim parses one per TSV cut.
+        try:
+            return _CUT_CACHE[s]
+        except KeyError:
+            pass
+        cut = Cut._parse(s)
+        if len(_CUT_CACHE) < 4096:
+            _CUT_CACHE[s] = cut
+        return cut
+
+    @staticmethod
+    def _parse(s: str) -> Optional["Cut"]:
         s = s.strip()
         for name, direction in (("Before", CutDirection.Before), ("After", CutDirection.After)):
             prefix = name + "("
@@ -117,6 +133,10 @@ TSV_COLUMNS = [
 ]
 
 TSV_HEADER = "\t".join(TSV_COLUMNS)
+
+# Enum __call__ lookups cost ~1us each; the TSV parser runs two per row.
+_BARCODE_BY_VALUE = {m.value: m for m in BarcodeType}
+_STRAND_BY_VALUE = {m.value: m for m in Strand}
 
 
 @dataclass(slots=True)
@@ -189,11 +209,11 @@ class BarbellMatch:
             read_end_flank=int(fields[6]),
             bar_start=int(fields[7]),
             bar_end=int(fields[8]),
-            match_type=BarcodeType(fields[9]),
+            match_type=_BARCODE_BY_VALUE.get(fields[9]) or BarcodeType(fields[9]),
             flank_cost=int(fields[10]),
             barcode_cost=int(fields[11]),
             label=fields[12],
-            strand=Strand(fields[13]),
+            strand=_STRAND_BY_VALUE.get(fields[13]) or Strand(fields[13]),
             cuts=cuts,
         )
 

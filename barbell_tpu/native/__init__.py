@@ -85,6 +85,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p,
             ctypes.c_long,
         ]
+        lib.bbio_writer_write_raw.restype = ctypes.c_int
+        lib.bbio_writer_write_raw.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_long,
+        ]
         lib.bbio_writer_close.restype = ctypes.c_int
         lib.bbio_writer_close.argtypes = [ctypes.c_void_p]
         lib.bbio_encode_pack2_cat.restype = ctypes.c_long

@@ -583,6 +583,13 @@ int bbio_writer_write(void* wp, const char* header, long hlen,
     return 0;
 }
 
+// Pre-formatted block append (the Python side buffers whole FASTQ
+// records and flushes ~256KB at a time: one ctypes call per block
+// instead of one 6-argument call per record).
+int bbio_writer_write_raw(void* wp, const char* buf, long n) {
+    return static_cast<Writer*>(wp)->write(buf, static_cast<size_t>(n));
+}
+
 int bbio_writer_close(void* wp) {
     Writer* w = static_cast<Writer*>(wp);
     int rc = 0;

@@ -23,7 +23,8 @@ from ..models.records import (
     read_annotations,
 )
 from ..utils import dna
-from ..utils.fastx import iter_fastq, split_fastq_header, validate_fastq_paths
+from ..utils.fastx import split_fastq_header, validate_fastq_paths
+from ..utils.fastx_native import iter_fastq_batches_auto
 from ..utils.progress import TRIM_METRICS, ProgressTracker
 
 TOTAL_IDX, TRIMMED_IDX, TRIMMED_SPLIT_IDX, FAILED_IDX = 0, 1, 2, 3
@@ -326,7 +327,13 @@ def trim_matches(
         writers = _WriterPool(output_folder, use_gzip)
     try:
         validate_fastq_paths(read_fastq_files)
-        for header, seq, qual in iter_fastq(read_fastq_files):
+        # batched native reader (GIL-free parse + gzip) when available
+        records = (
+            rec
+            for batch in iter_fastq_batches_auto(read_fastq_files, 2048)
+            for rec in batch
+        )
+        for header, seq, qual in records:
             read_id, desc = split_fastq_header(header)
             progress.inc(TOTAL_IDX)
             annos = annotations_by_read.get(read_id)

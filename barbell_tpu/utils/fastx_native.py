@@ -47,7 +47,8 @@ def iter_fastq_batches_native(
                 raise ValueError("malformed FASTQ input")
             if n == -2:
                 raise ValueError("FASTQ record larger than native IO buffer")
-            raw = data.raw
+            # copy only the used prefix — .raw copies the whole 32MB cap
+            raw = ctypes.string_at(data, offs[4 * (n - 1) + 3])
             batch = []
             for i in range(n):
                 h_off, s_off, q_off, q_end = offs[4 * i : 4 * i + 4]
@@ -69,25 +70,48 @@ def iter_fastq_batches_auto(
 
 
 class NativeFastqWriter:
-    """One output FASTQ (optionally gzip) via the native extension."""
+    """One output FASTQ (optionally gzip) via the native extension.
+
+    Records buffer host-side and flush as ~256KB raw blocks: one ctypes
+    call per block instead of a 6-argument marshalled call per record
+    (the per-call overhead dominated trim's write path at ~14us/record
+    on the 1-core bench host)."""
+
+    _FLUSH_AT = 1 << 18
 
     def __init__(self, path: str, gzip_level: int = 0):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native IO library unavailable")
         self._lib = lib
+        self._buf = bytearray()
         self._h = lib.bbio_writer_open(path.encode(), gzip_level)
         if not self._h:
             raise OSError(f"Failed to create output file '{path}'")
 
     def write_record(self, header: bytes, seq: bytes, qual: bytes) -> None:
-        rc = self._lib.bbio_writer_write(
-            self._h, header, len(header), seq, len(seq), qual, len(qual)
-        )
-        if rc != 0:
-            raise OSError("native FASTQ write failed")
+        b = self._buf
+        b += b"@"
+        b += header
+        b += b"\n"
+        b += seq
+        b += b"\n+\n"
+        b += qual
+        b += b"\n"
+        if len(b) >= self._FLUSH_AT:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._buf:
+            rc = self._lib.bbio_writer_write_raw(
+                self._h, bytes(self._buf), len(self._buf)
+            )
+            self._buf.clear()
+            if rc != 0:
+                raise OSError("native FASTQ write failed")
 
     def close(self) -> None:
         if self._h:
+            self.flush()
             self._lib.bbio_writer_close(self._h)
             self._h = None
