@@ -745,3 +745,22 @@ def test_engine_fine_row_buckets_row_identical(monkeypatch):
     assert got_fine == got
     for rid, seq, rows in zip(ids, seqs, got):
         assert rows == scalar.demux(rid, seq), rid
+
+
+def test_engine_mono_upload_nibble_fallback(monkeypatch):
+    """mono upload with the nibble pack fallback (BARBELL_PACK_MODE=0)
+    stays row-identical — the blob carries 2-D nibble rows instead of
+    the concatenated byte stream."""
+    monkeypatch.setenv("BARBELL_PACK_MODE", "0")
+    rng = random.Random(21)
+    scalar, engine = _engine_pair(n_bars=8)
+    assert engine.mono_upload
+    ids, seqs = [], []
+    for i in range(6):
+        bc = rng.randrange(8)
+        seq = _construct(bc) + _random_read(rng, rng.randrange(150, 400))
+        ids.append(f"n{i}")
+        seqs.append(seq)
+    got = engine.demux_batch(ids, seqs)
+    for rid, seq, rows in zip(ids, seqs, got):
+        assert rows == scalar.demux(rid, seq), rid
