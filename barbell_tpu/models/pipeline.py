@@ -649,32 +649,49 @@ class JaxDemuxEngine:
             ]
         pack_mode = mats[0][3]
 
-        if pack_mode == 2:
-            # equal-size flat byte buffers per shard
-            t_pad = max(m[0].shape[0] for m in mats)
-            host_packed_g = np.zeros(D * t_pad, dtype=np.uint8)
-            for d, m in enumerate(mats):
-                host_packed_g[d * t_pad : d * t_pad + m[0].shape[0]] = m[0]
-        else:
-            host_packed_g = np.concatenate([m[0] for m in mats], axis=0)
-        row_start_g = np.concatenate([m[1] for m in mats])
-        exc_g = np.concatenate([m[2] for m in mats], axis=0)
-        simple_idx_g = np.concatenate([m[4] for m in mats])
         metas = [m[5] for m in mats]
         row_reads = [m[6] for m in mats]
-        meta_g = np.concatenate(metas, axis=0)
+        # pack-mode-2 shards pad their flat byte buffers to one length
+        t_pad = max(m[0].shape[0] for m in mats) if pack_mode == 2 else 0
 
-        with _phase("pack_upload"):
+        def put(arr):
+            spec = P(READS_AXIS, *([None] * (arr.ndim - 1)))
+            return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
-            def put(arr):
-                spec = P(READS_AXIS, *([None] * (arr.ndim - 1)))
-                return jax.device_put(arr, NamedSharding(self.mesh, spec))
-
-            host_packed_dev = put(host_packed_g)
-            simple_idx_dev = put(simple_idx_g)
-            meta_dev = put(comp.pack_meta_np(meta_g))
-            exc_dev = put(exc_g)
-            row_start_dev = put(row_start_g)
+        if self.mono_upload:
+            # One [D, blob_len] upload row per shard (the multi-chip
+            # form of the fused mono blob; spans match across shards
+            # because every shard pads to the same global shapes).
+            with _phase("pack_upload"):
+                blobs = []
+                spans = None
+                for m in mats:
+                    hp = m[0]
+                    if pack_mode == 2 and hp.shape[0] != t_pad:
+                        hp = np.concatenate(
+                            [hp, np.zeros(t_pad - hp.shape[0], dtype=np.uint8)]
+                        )
+                    blob, spans = comp.build_blob_np(
+                        hp, m[4], comp.pack_meta_np(m[5]), m[2], m[1]
+                    )
+                    blobs.append(blob)
+                dev_in = ("mono", put(np.stack(blobs)), spans)
+        else:
+            with _phase("pack_upload"):
+                if pack_mode == 2:
+                    host_packed_g = np.zeros(D * t_pad, dtype=np.uint8)
+                    for d, m in enumerate(mats):
+                        host_packed_g[d * t_pad : d * t_pad + m[0].shape[0]] = m[0]
+                else:
+                    host_packed_g = np.concatenate([m[0] for m in mats], axis=0)
+                dev_in = (
+                    "multi",
+                    put(host_packed_g),
+                    put(np.concatenate([m[4] for m in mats])),
+                    put(comp.pack_meta_np(np.concatenate(metas, axis=0))),
+                    put(np.concatenate([m[2] for m in mats], axis=0)),
+                    put(np.concatenate([m[1] for m in mats])),
+                )
 
         results: List[List[BarbellMatch]] = [[] for _ in seqs]
         overflow_reads: set = set()
@@ -684,8 +701,7 @@ class JaxDemuxEngine:
         for gplan in self.plans:
             with _phase("demux_call.dispatch"):
                 out_dev = self._dispatch_group_sharded(
-                    gplan, host_packed_dev, simple_idx_dev, meta_dev,
-                    exc_dev, row_start_dev, pack_mode, L, step, H_cap
+                    gplan, dev_in, pack_mode, L, step, H_cap
                 )
             pending.append((gplan, out_dev))
 
@@ -700,8 +716,7 @@ class JaxDemuxEngine:
                 cap = _pow2_at_least(max(totals), lo=4 * H_cap)
                 out_np = np.asarray(
                     self._dispatch_group_sharded(
-                        gplan, host_packed_dev, simple_idx_dev, meta_dev,
-                        exc_dev, row_start_dev, pack_mode, L, step, cap
+                        gplan, dev_in, pack_mode, L, step, cap
                     )
                 )
                 per_shard = cap * wcols + R_total_pad + 1
@@ -738,10 +753,28 @@ class JaxDemuxEngine:
         return out
 
     def _dispatch_group_sharded(
-        self, gplan: _GroupPlan, host_packed_dev, simple_idx_dev, meta_dev,
-        exc_dev, row_start_dev, pack_mode: int, L: int, step: int, H_cap: int,
+        self, gplan: _GroupPlan, dev_in, pack_mode: int, L: int, step: int,
+        H_cap: int,
     ):
         statics = self._group_statics(gplan, pack_mode, L, step, H_cap)
+        if dev_in[0] == "mono":
+            _, blob_dev, spans = dev_in
+            key = ("mono", spans) + tuple(sorted(statics.items()))
+            sstep = self._sharded_steps.get(key)
+            if sstep is None:
+                from ..parallel.mesh import sharded_demux_step_mono
+
+                sstep = sharded_demux_step_mono(
+                    self.mesh, spans=spans, **statics
+                )
+                self._sharded_steps[key] = sstep
+            out, _global_hits = sstep(
+                gplan.flank_dev, gplan.patw_dev, gplan.patterns_all_dev,
+                blob_dev,
+            )
+            return out
+        (_, host_packed_dev, simple_idx_dev, meta_dev, exc_dev,
+         row_start_dev) = dev_in
         key = tuple(sorted(statics.items()))
         sstep = self._sharded_steps.get(key)
         if sstep is None:

@@ -133,3 +133,36 @@ def sharded_demux_step(mesh: Mesh, **statics):
         out_specs=(P(READS_AXIS), P()),
     )
     return jax.jit(mapped)
+
+
+def sharded_demux_step_mono(mesh: Mesh, *, spans, **statics):
+    """:func:`sharded_demux_step` with each shard's five host arrays
+    riding one row of a ``[n_devices, blob_len]`` uint8 upload — the
+    multi-chip form of :func:`barbell_tpu.ops.composite.demux_call_mono`
+    (one wire transfer per batch instead of five).  ``spans`` is the
+    shared blob layout; it is identical across shards because every
+    shard pads its segments to the same global shapes."""
+    from ..ops import composite as comp
+
+    def local_step(flank, patw, patterns_all, blob):
+        parts = comp._blob_parts(blob.reshape(-1), spans)
+        out = comp.demux_call.__wrapped__(
+            flank, patw, patterns_all, parts["host_packed"],
+            parts["simple_idx"], parts["meta"], parts["exc"],
+            parts["row_start"], **statics,
+        )
+        global_hits = jax.lax.psum(out[-1], READS_AXIS)
+        return out, global_hits
+
+    mapped = _shard_map(
+        local_step,
+        mesh,
+        in_specs=(
+            P(None),
+            P(None, None),
+            P(None, None),
+            P(READS_AXIS, None),
+        ),
+        out_specs=(P(READS_AXIS), P()),
+    )
+    return jax.jit(mapped)
