@@ -8,6 +8,9 @@ Configs (env BENCH_CONFIG):
   rbk114_96_extended  RBK114-96 with --use-extended (fusion template
                       as an extra group; reference README.md:145-146
                       reports ~3x slowdown for this mode on CPU)
+  kit_nbd_maximize    FULL kit pipeline (annotate+inspect+filter+trim)
+                      on SQK-NBD114-96 --maximize, end-to-end wall
+                      clock incl. one device cold start
 
 Reads are synthetic (600-4000bp, up to 6 edits, 50% reverse-complement
 — the reference benchmark harness's GroupII class) and the measured
@@ -109,6 +112,73 @@ CONFIGS = {
 }
 
 
+def run_kit_pipeline_bench():
+    """End-to-end kit pipeline (annotate -> inspect -> filter -> trim)
+    wall clock on SQK-NBD114-96 --maximize: the BASELINE config-4
+    measurement as a repeatable mode (BENCH_CONFIG=kit_nbd_maximize).
+    Includes one per-process device cold start — noted on stderr, per
+    CLAUDE.md this is NOT comparable to the annotate-only metrics."""
+    import shutil
+    import tempfile
+
+    from barbell_tpu.sim.compare import assignments_from_trimmed
+    from barbell_tpu.stages.kit import KitRunConfig, demux_using_kit
+
+    reads = make_reads_nbd(N_READS, seed=11)
+    d = tempfile.mkdtemp(prefix="bench_kit_")
+    try:
+        fq = os.path.join(d, "reads.fastq")
+        with open(fq, "w") as fh:
+            for rid, seq, _label in reads:
+                s = seq.decode()
+                fh.write(f"@{rid}\n{s}\n+\n{'I' * len(s)}\n")
+        truth = {r[0]: r[2] for r in reads}
+        out = os.path.join(d, "out")
+        t0 = time.perf_counter()
+        demux_using_kit(
+            [fq],
+            KitRunConfig(
+                kit_name="SQK-NBD114-96", output_folder=out, maximize=True,
+                batch_size=BATCH,
+            ),
+        )
+        dt = time.perf_counter() - t0
+        assigned = assignments_from_trimmed(out)
+        n_assigned = 0
+        n_correct = 0
+        for rid, label in assigned.items():
+            base, _, tail = rid.rpartition("_")
+            if tail.isdigit() and base in truth:
+                rid = base
+            if rid not in truth:
+                continue
+            n_assigned += 1
+            if truth[rid] == label.split("_")[0]:
+                n_correct += 1
+        print(
+            f"# kit pipeline: {len(reads)} reads in {dt:.1f}s (includes "
+            f"one device cold start); assigned "
+            f"{n_assigned / len(reads):.3f}, correct-of-assigned "
+            f"{n_correct / max(1, n_assigned):.3f}",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "nbd114_96_maximize_kit_pipeline_reads_per_sec",
+                    "value": round(len(reads) / dt, 1),
+                    "unit": "reads/s",
+                    "assigned_frac": round(n_assigned / len(reads), 4),
+                    "accuracy_of_assigned": round(
+                        n_correct / max(1, n_assigned), 4
+                    ),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def measure_cpu_anchor(groups, reads, n_threads=ANCHOR_THREADS):
     """Measured reads/s of the scalar CPU Myers demux-cost proxy on this
     host (per-group whole-read flank scan, both strands, + per-valley
@@ -166,6 +236,9 @@ def measure_cpu_anchor(groups, reads, n_threads=ANCHOR_THREADS):
 
 
 def main():
+    if CONFIG == "kit_nbd_maximize":
+        run_kit_pipeline_bench()
+        return
     cfg = CONFIGS[CONFIG]
     from barbell_tpu.models.barcodes import BarcodeGroup
     from barbell_tpu.models.pipeline import JaxDemuxEngine, engine_map_batches
