@@ -235,7 +235,48 @@ def measure_cpu_anchor(groups, reads, n_threads=ANCHOR_THREADS):
     return n / dt, total
 
 
+def _probe_backend(timeout_s: float) -> None:
+    """Fail fast if the JAX backend never initializes (dead TPU tunnel).
+
+    ``jax.devices()`` on the remote axon backend blocks FOREVER when
+    the tunnel is down; a hung bench is the worst failure mode for the
+    round driver, so probe device init on a watchdog thread and emit a
+    machine-readable error line instead.  A healthy tunnel initializes
+    in seconds (the 2-6 min cold start is the first *execution*, which
+    happens after this probe)."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(
+            f"# FATAL: jax backend did not initialize within {timeout_s:.0f}s"
+            " (TPU tunnel down?)",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "error",
+                    "value": 0,
+                    "unit": "reads/s",
+                    "vs_baseline": 0,
+                    "error": "jax backend init timeout (tunnel down)",
+                }
+            )
+        )
+        os._exit(2)
+
+
 def main():
+    _probe_backend(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "180")))
     if CONFIG == "kit_nbd_maximize":
         run_kit_pipeline_bench()
         return
