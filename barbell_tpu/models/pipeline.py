@@ -135,8 +135,10 @@ def _mantissa_bucket(x: int, lo: int) -> int:
 _FINE_ROWS = _os.environ.get("BARBELL_FINE_ROWS", "0") == "1"
 
 
-def _row_bucket(x: int, lo: int = 8) -> int:
-    return _mantissa_bucket(x, lo) if _FINE_ROWS else _pow2_at_least(x, lo)
+def _row_bucket(x: int, lo: int = 8, fine: Optional[bool] = None) -> int:
+    if _FINE_ROWS if fine is None else fine:
+        return _mantissa_bucket(x, lo)
+    return _pow2_at_least(x, lo)
 
 
 @dataclass
@@ -210,6 +212,8 @@ class JaxDemuxEngine:
         max_hits_per_row: int = MAX_HITS_PER_ROW,
         use_pallas: Optional[bool] = None,
         devices: Optional[Sequence] = None,
+        fine_rows: Optional[bool] = None,
+        mono_upload: Optional[bool] = None,
     ):
         from ..utils.jaxcache import enable_compilation_cache
 
@@ -262,7 +266,14 @@ class JaxDemuxEngine:
         # cost more than one blob.  BARBELL_MONO_UPLOAD=0 restores
         # separate uploads (debug aid; the sharded path always uploads
         # per-array because shards need NamedSharding placements).
-        self.mono_upload = _os.environ.get("BARBELL_MONO_UPLOAD", "1") != "0"
+        self.mono_upload = (
+            _os.environ.get("BARBELL_MONO_UPLOAD", "1") != "0"
+            if mono_upload is None
+            else bool(mono_upload)
+        )
+        # Row-count bucket granularity (see _row_bucket); per-engine so
+        # interleaved A/B benches can compare both in one process.
+        self.fine_rows = _FINE_ROWS if fine_rows is None else bool(fine_rows)
         if use_pallas is None:
             # Interpret-mode pallas on CPU is only for targeted tests.
             use_pallas = not self._on_cpu
@@ -330,8 +341,8 @@ class JaxDemuxEngine:
 
         self.last_dispatch = "single"
         plan = self._plan_shard(seq_bytes, lens, range(B), L, step)
-        R_host_pad = _row_bucket(max(plan.R_host, 1), lo=8)
-        S_pad = _row_bucket(max(plan.S, 1), lo=8)
+        R_host_pad = _row_bucket(max(plan.R_host, 1), lo=8, fine=self.fine_rows)
+        S_pad = _row_bucket(max(plan.S, 1), lo=8, fine=self.fine_rows)
         R_total_pad = R_host_pad + S_pad
 
         # Flat row indexing (gathers, exception scatter) is int32: keep

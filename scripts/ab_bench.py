@@ -1,0 +1,133 @@
+"""Interleaved A/B throughput comparison on the real TPU.
+
+The shared chip's throughput drifts by the hour, so sequential
+whole-config runs (one config, then the other) confound config with
+time-of-day.  This harness builds BOTH engine variants in one process,
+warms each once (their executable loads are the per-process cold-start
+cost), then runs A and B alternately on the SAME fresh dataset per
+repetition — a paired comparison that cancels drift.
+
+Modes (env AB_MODE):
+  mono       mono blob upload (default ON) vs per-array uploads
+  fine_rows  1/8-octave row buckets vs pow2 row buckets
+
+Env: AB_READS (default 16384), AB_BATCH (2048), AB_REPEAT (3 paired
+passes), BENCH_DEVICE_TIMEOUT.  Output: one JSON line with both arms'
+per-pass times, medians, and the B/A ratio; progress on stderr.
+
+Run SOLO — nothing else may touch the chip or the host while this runs
+(CLAUDE.md measurement discipline).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+MODE = os.environ.get("AB_MODE", "mono")
+N_READS = int(os.environ.get("AB_READS", "16384"))
+BATCH = int(os.environ.get("AB_BATCH", "2048"))
+REPEAT = int(os.environ.get("AB_REPEAT", "3"))
+
+
+def log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def build_engines():
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+
+    groups = BarcodeGroup.from_kit("SQK-RBK114-96", False)
+    for g in groups:
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    if MODE == "mono":
+        a = JaxDemuxEngine(groups, mono_upload=True)
+        b = JaxDemuxEngine(groups, mono_upload=False)
+        names = ("mono_upload", "per_array_upload")
+    elif MODE == "fine_rows":
+        a = JaxDemuxEngine(groups, fine_rows=False)
+        b = JaxDemuxEngine(groups, fine_rows=True)
+        names = ("pow2_rows", "fine_rows")
+    else:
+        raise SystemExit(f"unknown AB_MODE {MODE!r}")
+    return a, b, names
+
+
+def run_pass(engine, reads):
+    from barbell_tpu.models.pipeline import engine_map_batches
+    from barbell_tpu.models.records import BarcodeType
+
+    ids = [r[0] for r in reads]
+    seqs = [r[1] for r in reads]
+    truth = {r[0]: r[2] for r in reads}
+
+    def batches():
+        for i in range(0, len(reads) - BATCH + 1, BATCH):
+            yield ids[i : i + BATCH], seqs[i : i + BATCH]
+
+    t0 = time.perf_counter()
+    n = correct = 0
+    for bids, _bs, out in engine_map_batches(engine, batches()):
+        n += len(bids)
+        for rid, rows in zip(bids, out):
+            tags = [m for m in rows if m.match_type == BarcodeType.Ftag]
+            if tags and tags[0].label == truth[rid]:
+                correct += 1
+    dt = time.perf_counter() - t0
+    assert correct / max(1, n) > 0.99, f"accuracy regression {correct}/{n}"
+    return n, dt
+
+
+def main():
+    import bench  # repo root is on sys.path (inserted above)
+
+    bench._probe_backend(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "180")))
+    from bench import make_reads_rbk
+
+    a, b, (name_a, name_b) = build_engines()
+    log(f"mode={MODE}: A={name_a} B={name_b}; warming (cold loads)")
+    warm = make_reads_rbk(N_READS, seed=99)
+    for eng, nm in ((a, name_a), (b, name_b)):
+        t0 = time.perf_counter()
+        run_pass(eng, warm)
+        log(f"warm {nm}: {time.perf_counter() - t0:.1f}s")
+
+    times = {name_a: [], name_b: []}
+    n = 0
+    for rep in range(REPEAT):
+        reads = make_reads_rbk(N_READS, seed=1000 + rep)
+        # alternate which arm goes first to cancel slow monotone drift
+        order = ((a, name_a), (b, name_b)) if rep % 2 == 0 else ((b, name_b), (a, name_a))
+        for eng, nm in order:
+            n, dt = run_pass(eng, reads)
+            times[nm].append(dt)
+            log(f"pass {rep} {nm}: {n} reads in {dt:.2f}s ({n / dt:.0f} reads/s)")
+
+    med_a = float(np.median(times[name_a]))
+    med_b = float(np.median(times[name_b]))
+    print(
+        json.dumps(
+            {
+                "mode": MODE,
+                "n_reads": n,
+                "arm_a": name_a,
+                "arm_b": name_b,
+                "times_a": [round(t, 3) for t in times[name_a]],
+                "times_b": [round(t, 3) for t in times[name_b]],
+                "reads_per_sec_a": round(n / med_a, 1),
+                "reads_per_sec_b": round(n / med_b, 1),
+                "b_over_a_speedup": round(med_a / med_b, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

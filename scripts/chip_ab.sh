@@ -1,12 +1,14 @@
 #!/bin/bash
 # Round-2 chip A/B session: waits for the TPU tunnel to come back, then
-# runs the unmeasured-optimization benchmark plan SOLO (one bench.py
-# process at a time; nothing else may touch the chip while this runs).
+# runs the unmeasured-optimization benchmark plan SOLO (one bench
+# process at a time; nothing else may touch the chip OR burn host CPU
+# while this runs).
 #
-# Results land in bench_ab_r02/<name>.json (the bench JSON line) and
-# bench_ab_r02/<name>.err (per-pass times + accuracy).  Each config is
-# its own process (one cold start each, per CLAUDE.md); BENCH_REPEAT=3
-# medians per the measurement discipline.
+# Flagged A/Bs run through scripts/ab_bench.py (paired, interleaved
+# passes in one process — the chip's hourly drift makes sequential
+# whole-config comparisons unreliable).  Plain config benches use
+# bench.py.  Results land in bench_ab_r02/<name>.json plus per-pass
+# logs in <name>.err.
 set -u
 cd /root/repo
 OUT=bench_ab_r02
@@ -20,25 +22,28 @@ while true; do
     log "tunnel UP"
     break
   fi
-  sleep 180
+  sleep 120
 done
 
-run_cfg() { # name timeout_s env... (env as K=V strings)
-  local name=$1 tmo=$2; shift 2
+run() { # name timeout_s script env...
+  local name=$1 tmo=$2 script=$3; shift 3
   if [ -s "$OUT/$name.json" ]; then log "skip $name (done)"; return; fi
   log "start $name"
-  timeout "$tmo" env "$@" python bench.py \
+  timeout "$tmo" env "$@" python "$script" \
     > "$OUT/$name.json" 2> "$OUT/$name.err"
   log "done $name rc=$? json=$(cat "$OUT/$name.json" 2>/dev/null)"
 }
 
-run_cfg default_rbk    1800 BENCH_CONFIG=rbk114_96
-run_cfg permono_off    1800 BENCH_CONFIG=rbk114_96 BARBELL_MONO_UPLOAD=0
-run_cfg nbd            1800 BENCH_CONFIG=nbd114_96
-run_cfg extended       2400 BENCH_CONFIG=rbk114_96_extended
-run_cfg kit_pipeline   2400 BENCH_CONFIG=kit_nbd_maximize
-# fine rows last: every new row-bucket shape is a multi-minute
-# executable load on this backend, so this one can eat real time.
-run_cfg fine_rows      3600 BENCH_CONFIG=rbk114_96 BARBELL_FINE_ROWS=1
+# Paired A/Bs first: they decide production defaults.
+run ab_mono      3600 scripts/ab_bench.py AB_MODE=mono
+# fine rows: every new row-bucket shape is a multi-minute executable
+# load; the warm pass in ab_bench absorbs most of it.
+run ab_fine_rows 5400 scripts/ab_bench.py AB_MODE=fine_rows
+
+# Headline + secondary configs (bench.py medians of 3).
+run default_rbk  1800 bench.py BENCH_CONFIG=rbk114_96
+run nbd          1800 bench.py BENCH_CONFIG=nbd114_96
+run extended     2400 bench.py BENCH_CONFIG=rbk114_96_extended
+run kit_pipeline 2400 bench.py BENCH_CONFIG=kit_nbd_maximize
 
 log "session complete"

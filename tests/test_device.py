@@ -726,11 +726,9 @@ def test_mantissa_bucket_properties():
                 assert b % (1 << e) == 0  # alignment (t_pad needs %128)
 
 
-def test_engine_fine_row_buckets_row_identical(monkeypatch):
-    """BARBELL_FINE_ROWS (1/8-octave row buckets) must not change any
-    result — only the padded shapes."""
-    import barbell_tpu.models.pipeline as pl
-
+def test_engine_fine_row_buckets_row_identical():
+    """fine_rows (1/8-octave row buckets; env BARBELL_FINE_ROWS or the
+    per-engine flag) must not change any result — only padded shapes."""
     rng = random.Random(13)
     scalar, engine = _engine_pair(n_bars=8)
     ids, seqs = [], []
@@ -740,7 +738,7 @@ def test_engine_fine_row_buckets_row_identical(monkeypatch):
         ids.append(f"f{i}")
         seqs.append(seq)
     got = engine.demux_batch(ids, seqs)
-    monkeypatch.setattr(pl, "_FINE_ROWS", True)
+    engine.fine_rows = True
     got_fine = engine.demux_batch(ids, seqs)
     assert got_fine == got
     for rid, seq, rows in zip(ids, seqs, got):

@@ -52,11 +52,8 @@ def test_engine_fuzz_matches_oracle(trial):
     )
     # fuzz the wire/shape paths too: mono vs per-array uploads and
     # pow2 vs 1/8-octave row buckets must all be row-identical
-    import barbell_tpu.models.pipeline as _pl
-
     engine.mono_upload = rng.random() < 0.5
-    old_fine = _pl._FINE_ROWS
-    _pl._FINE_ROWS = rng.random() < 0.5
+    engine.fine_rows = rng.random() < 0.5
     d = Demuxer(alpha=alpha, min_score=min_score, min_score_diff=min_score_diff)
     d.add_query_group(group)
 
@@ -82,10 +79,7 @@ def test_engine_fuzz_matches_oracle(trial):
         ids.append(f"t{trial}_{i}")
         seqs.append(seq)
 
-    try:
-        got = engine.demux_batch(ids, seqs)
-    finally:
-        _pl._FINE_ROWS = old_fine
+    got = engine.demux_batch(ids, seqs)
     for rid, seq, rows in zip(ids, seqs, got):
         want = d.demux(rid, seq)
         assert rows == want, (trial, rid, rows, want)
