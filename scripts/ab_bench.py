@@ -10,6 +10,8 @@ repetition — a paired comparison that cancels drift.
 Modes (env AB_MODE):
   mono       mono blob upload (default ON) vs per-array uploads
   fine_rows  1/8-octave row buckets vs pow2 row buckets
+  batch      AB_BATCH vs AB_BATCH_B (default 4096) on one engine —
+             fewer RPCs per read vs more padding + shallower pipeline
 
 Env: AB_READS (default 16384), AB_BATCH (2048), AB_REPEAT (3 paired
 passes), BENCH_DEVICE_TIMEOUT.  Output: one JSON line with both arms'
@@ -47,19 +49,28 @@ def build_engines():
     for g in groups:
         g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
     if MODE == "mono":
-        a = JaxDemuxEngine(groups, mono_upload=True)
-        b = JaxDemuxEngine(groups, mono_upload=False)
-        names = ("mono_upload", "per_array_upload")
+        arms = (
+            (JaxDemuxEngine(groups, mono_upload=True), "mono_upload", BATCH),
+            (JaxDemuxEngine(groups, mono_upload=False), "per_array_upload", BATCH),
+        )
     elif MODE == "fine_rows":
-        a = JaxDemuxEngine(groups, fine_rows=False)
-        b = JaxDemuxEngine(groups, fine_rows=True)
-        names = ("pow2_rows", "fine_rows")
+        arms = (
+            (JaxDemuxEngine(groups, fine_rows=False), "pow2_rows", BATCH),
+            (JaxDemuxEngine(groups, fine_rows=True), "fine_rows", BATCH),
+        )
+    elif MODE == "batch":
+        eng = JaxDemuxEngine(groups)
+        bb = int(os.environ.get("AB_BATCH_B", "4096"))
+        arms = (
+            (eng, f"batch_{BATCH}", BATCH),
+            (eng, f"batch_{bb}", bb),
+        )
     else:
         raise SystemExit(f"unknown AB_MODE {MODE!r}")
-    return a, b, names
+    return arms
 
 
-def run_pass(engine, reads):
+def run_pass(engine, reads, batch):
     from barbell_tpu.models.pipeline import engine_map_batches
     from barbell_tpu.models.records import BarcodeType
 
@@ -68,8 +79,8 @@ def run_pass(engine, reads):
     truth = {r[0]: r[2] for r in reads}
 
     def batches():
-        for i in range(0, len(reads) - BATCH + 1, BATCH):
-            yield ids[i : i + BATCH], seqs[i : i + BATCH]
+        for i in range(0, len(reads) - batch + 1, batch):
+            yield ids[i : i + batch], seqs[i : i + batch]
 
     t0 = time.perf_counter()
     n = correct = 0
@@ -90,12 +101,13 @@ def main():
     bench._probe_backend(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "180")))
     from bench import make_reads_rbk
 
-    a, b, (name_a, name_b) = build_engines()
+    arm_a, arm_b = build_engines()
+    name_a, name_b = arm_a[1], arm_b[1]
     log(f"mode={MODE}: A={name_a} B={name_b}; warming (cold loads)")
     warm = make_reads_rbk(N_READS, seed=99)
-    for eng, nm in ((a, name_a), (b, name_b)):
+    for eng, nm, bsz in (arm_a, arm_b):
         t0 = time.perf_counter()
-        run_pass(eng, warm)
+        run_pass(eng, warm, bsz)
         log(f"warm {nm}: {time.perf_counter() - t0:.1f}s")
 
     times = {name_a: [], name_b: []}
@@ -103,9 +115,9 @@ def main():
     for rep in range(REPEAT):
         reads = make_reads_rbk(N_READS, seed=1000 + rep)
         # alternate which arm goes first to cancel slow monotone drift
-        order = ((a, name_a), (b, name_b)) if rep % 2 == 0 else ((b, name_b), (a, name_a))
-        for eng, nm in order:
-            n, dt = run_pass(eng, reads)
+        order = (arm_a, arm_b) if rep % 2 == 0 else (arm_b, arm_a)
+        for eng, nm, bsz in order:
+            n, dt = run_pass(eng, reads, bsz)
             times[nm].append(dt)
             log(f"pass {rep} {nm}: {n} reads in {dt:.2f}s ({n / dt:.0f} reads/s)")
 

@@ -39,6 +39,7 @@ run ab_mono      3600 scripts/ab_bench.py AB_MODE=mono
 # fine rows: every new row-bucket shape is a multi-minute executable
 # load; the warm pass in ab_bench absorbs most of it.
 run ab_fine_rows 5400 scripts/ab_bench.py AB_MODE=fine_rows
+run ab_batch     3600 scripts/ab_bench.py AB_MODE=batch
 
 # Headline + secondary configs (bench.py medians of 3).
 run default_rbk  1800 bench.py BENCH_CONFIG=rbk114_96
