@@ -58,10 +58,12 @@ _CAT_BUCKET = 128 * 1024  # concatenated-code buffer size floor
 # repeated-input microbenchmarks.
 import contextlib
 import os as _os
+import threading as _threading
 import time as _time
 
 TIMINGS: Dict[str, List[float]] = {}
 _TIMING = _os.environ.get("BARBELL_TIMING", "") not in ("", "0")
+_TIMING_LOCK = _threading.Lock()
 
 
 @contextlib.contextmanager
@@ -73,9 +75,14 @@ def _phase(name: str):
     try:
         yield
     finally:
-        acc = TIMINGS.setdefault(name, [0.0, 0])
-        acc[0] += _time.perf_counter() - t0
-        acc[1] += 1
+        dt = _time.perf_counter() - t0
+        # engine_map_batches runs demux_batch on several worker threads;
+        # unlocked += here loses updates for exactly the most-concurrent
+        # (hottest) phases, which is what this profile exists to rank.
+        with _TIMING_LOCK:
+            acc = TIMINGS.setdefault(name, [0.0, 0])
+            acc[0] += dt
+            acc[1] += 1
 
 
 def timing_report() -> str:
@@ -260,12 +267,11 @@ class JaxDemuxEngine:
             self.mesh = make_mesh(self.devices)
 
         self._on_cpu = jax.devices()[0].platform == "cpu"
-        # Single-device batches fuse every per-batch host array into ONE
-        # uint8 upload (comp.demux_call_mono): the remote tunnel charges
-        # fixed per-transfer overhead, so five small uploads per batch
-        # cost more than one blob.  BARBELL_MONO_UPLOAD=0 restores
-        # separate uploads (debug aid; the sharded path always uploads
-        # per-array because shards need NamedSharding placements).
+        # Batches fuse every per-batch host array into ONE uint8 upload
+        # (comp.demux_call_mono; [D, blob] on the sharded path): the
+        # remote tunnel charges fixed per-transfer overhead, so five
+        # small uploads per batch cost more than one blob.
+        # BARBELL_MONO_UPLOAD=0 restores separate uploads (debug aid).
         self.mono_upload = (
             _os.environ.get("BARBELL_MONO_UPLOAD", "1") != "0"
             if mono_upload is None
@@ -637,8 +643,12 @@ class JaxDemuxEngine:
             self._plan_shard(seq_bytes, lens, bucket, L, step)
             for bucket in buckets
         ]
-        R_host_pad = _pow2_at_least(max(max(p.R_host for p in plans), 1), lo=8)
-        S_pad = _pow2_at_least(max(max(p.S for p in plans), 1), lo=8)
+        R_host_pad = _row_bucket(
+            max(max(p.R_host for p in plans), 1), lo=8, fine=self.fine_rows
+        )
+        S_pad = _row_bucket(
+            max(max(p.S for p in plans), 1), lo=8, fine=self.fine_rows
+        )
         R_total_pad = R_host_pad + S_pad
         if R_total_pad * L >= 2**31:
             half = B // 2
@@ -807,6 +817,50 @@ class JaxDemuxEngine:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _simple_blob(seq_bytes, simple_reads):
+        """Concatenate the simple reads into one bytes blob with int64
+        offsets and int32 lengths for the native encoders (lengths via
+        fromiter + cumsum, not a per-read Python accumulation loop)."""
+        S = len(simple_reads)
+        ls = np.fromiter(
+            (len(seq_bytes[r]) for r in simple_reads), dtype=np.int32,
+            count=S,
+        )
+        offs = np.zeros(S, dtype=np.int64)
+        if S > 1:
+            np.cumsum(ls[:-1], dtype=np.int64, out=offs[1:])
+        blob = b"".join(seq_bytes[r] for r in simple_reads)
+        return blob, offs, ls
+
+    @staticmethod
+    def _pack2_chunk_rows(long_content, S, L, exc, total_exc, store):
+        """Encode long-read chunk rows (4-bit masks) as 2-bit codes.
+
+        Non-ACGT bytes append (flat_pos, mask) pairs to ``exc``;
+        ``store(row_index, codes)`` receives the zero-masked code row.
+        Returns (total_exc, ok) — ok False when the exception list
+        would overflow (caller falls back to nibble rows)."""
+        for i, content in enumerate(long_content):
+            r = S + i
+            codes = dna.MASK_CODE_LUT[content]
+            bad = np.nonzero(codes > 3)[0]
+            if total_exc + len(bad) > _EXC_CAP:
+                return total_exc, False
+            if len(bad):
+                exc[total_exc : total_exc + len(bad), 0] = r * L + bad
+                exc[total_exc : total_exc + len(bad), 1] = content[bad] & 0xF
+                total_exc += len(bad)
+                codes = codes.copy()
+                codes[bad] = 0
+            store(r, codes)
+        return total_exc, True
+
+    @staticmethod
+    def _pack2(row):
+        """Pack a length-multiple-of-4 u8 code row into 2-bit bytes."""
+        return row[0::4] | (row[1::4] << 2) | (row[2::4] << 4) | (row[3::4] << 6)
+
     def _pack_host_rows(
         self, seq_bytes, simple_reads, long_content, R_host_pad: int, L: int,
         force_nibble: bool = False,
@@ -838,14 +892,7 @@ class JaxDemuxEngine:
             total_exc = 0
             ok = True
             if S:
-                blob = b"".join(seq_bytes[r] for r in simple_reads)
-                offs = np.zeros(S, dtype=np.int64)
-                ls = np.zeros(S, dtype=np.int32)
-                pos = 0
-                for i, r in enumerate(simple_reads):
-                    offs[i] = pos
-                    ls[i] = len(seq_bytes[r])
-                    pos += ls[i]
+                blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
                 total_exc = lib.bbio_encode_pack2_rows(
                     blob,
                     offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
@@ -860,29 +907,15 @@ class JaxDemuxEngine:
                 )
                 ok = total_exc <= _EXC_CAP
             if ok and long_content:
-                for i, content in enumerate(long_content):
-                    r = S + i
-                    codes = dna.MASK_CODE_LUT[content]
-                    bad = np.nonzero(codes > 3)[0]
-                    if total_exc + len(bad) > _EXC_CAP:
-                        ok = False
-                        break
-                    if len(bad):
-                        exc[total_exc : total_exc + len(bad), 0] = r * L + bad
-                        exc[total_exc : total_exc + len(bad), 1] = (
-                            content[bad] & 0xF
-                        )
-                        total_exc += len(bad)
-                    codes = codes.copy()
-                    codes[bad] = 0
+
+                def store_padded(r, codes):
                     row = np.zeros(L, dtype=np.uint8)
                     row[: len(codes)] = codes
-                    packed2[r] = (
-                        row[0::4]
-                        | (row[1::4] << 2)
-                        | (row[2::4] << 4)
-                        | (row[3::4] << 6)
-                    )
+                    packed2[r] = self._pack2(row)
+
+                total_exc, ok = self._pack2_chunk_rows(
+                    long_content, S, L, exc, total_exc, store_padded
+                )
             if ok:
                 return packed2, np.zeros(R_host_pad, dtype=np.int32), exc, 1
         if lib is not None and not force_nibble and mode_override != "0":
@@ -910,14 +943,7 @@ class JaxDemuxEngine:
             total_exc = 0
             ok = True
             if S:
-                blob = b"".join(seq_bytes[r] for r in simple_reads)
-                offs = np.zeros(S, dtype=np.int64)
-                ls = np.zeros(S, dtype=np.int32)
-                pos = 0
-                for i, r in enumerate(simple_reads):
-                    offs[i] = pos
-                    ls[i] = len(seq_bytes[r])
-                    pos += ls[i]
+                blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
                 total_exc = lib.bbio_encode_pack2_cat(
                     blob,
                     offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
@@ -934,43 +960,22 @@ class JaxDemuxEngine:
                 ok = total_exc <= _EXC_CAP
             if ok and long_content:
                 # long-read chunk rows hold 4-bit masks already
-                for i, content in enumerate(long_content):
-                    r = S + i
-                    codes = dna.MASK_CODE_LUT[content]
-                    bad = np.nonzero(codes > 3)[0]
-                    if total_exc + len(bad) > _EXC_CAP:
-                        ok = False
-                        break
-                    if len(bad):
-                        exc[total_exc : total_exc + len(bad), 0] = r * L + bad
-                        exc[total_exc : total_exc + len(bad), 1] = (
-                            content[bad] & 0xF
-                        )
-                        total_exc += len(bad)
-                    codes = codes.copy()
-                    codes[bad] = 0
+
+                def store_cat(r, codes):
                     row = np.zeros(int(nb[r]) * 4, dtype=np.uint8)
                     row[: len(codes)] = codes
-                    flat[starts[r] : starts[r] + nb[r]] = (
-                        row[0::4]
-                        | (row[1::4] << 2)
-                        | (row[2::4] << 4)
-                        | (row[3::4] << 6)
-                    )
+                    flat[starts[r] : starts[r] + nb[r]] = self._pack2(row)
+
+                total_exc, ok = self._pack2_chunk_rows(
+                    long_content, S, L, exc, total_exc, store_cat
+                )
             if ok:
                 return flat, starts.astype(np.int32), exc, 2
 
         # nibble fallback
         packed = np.zeros((R_host_pad, L // 2), dtype=np.uint8)
         if S and lib is not None:
-            blob = b"".join(seq_bytes[r] for r in simple_reads)
-            offs = np.zeros(S, dtype=np.int64)
-            ls = np.zeros(S, dtype=np.int32)
-            pos = 0
-            for i, r in enumerate(simple_reads):
-                offs[i] = pos
-                ls[i] = len(seq_bytes[r])
-                pos += ls[i]
+            blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
             lib.bbio_encode_pack_rows(
                 blob,
                 offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),

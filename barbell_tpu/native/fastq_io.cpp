@@ -119,8 +119,16 @@ struct Reader {
             if (rc != Z_OK) { failed = true; buf.resize(old); return false; }
         }
         buf.resize(old + (CHUNK - zs.avail_out));
-        if (zin_pos == zin_len && zin_eof) close_current();
-        return buf.size() > old;
+        // Close ONLY on a zero-byte fill: a productive fill that also
+        // exhausted the member must still report one EOF (return
+        // false) before the next file opens, exactly like the plain
+        // path's final fread()==0 — otherwise a .gz whose last line
+        // lacks '\n' gets stitched onto the next file's first record.
+        if (buf.size() == old) {
+            close_current();
+            return false;
+        }
+        return true;
     }
 
     void compact() {
@@ -343,6 +351,7 @@ void build_peq(const unsigned char* pat, int m, int nw, PeqW* peq) {
 int myers_scan(const unsigned char* tmask, int n, const PeqW* peq, int m,
                int k, int* valleys, int valleys_cap) {
     const int nw = (m + 63) >> 6;
+    if (m <= 0 || nw > 4) return -1;  // Pv/Mv hold 4 words = m <= 256
     unsigned long long Pv[4], Mv[4];
     for (int b = 0; b < nw; b++) {
         Pv[b] = ~0ULL;
@@ -410,6 +419,12 @@ long bbio_myers_anchor(const unsigned char* seqs, const long* offs,
                        int m_flank, int k_flank, const unsigned char* bars,
                        int n_bars, int m_bar, int k_bar, int win,
                        int n_threads) {
+    // myers_scan holds 4 pattern words (m <= 256); bar_peq is built
+    // with one word per pattern (m_bar <= 64).  Guard both — an
+    // oversized pattern must fail loudly, not overflow the stack.
+    if (m_flank <= 0 || m_flank > 256 || n_bars < 0 ||
+        (n_bars > 0 && (m_bar <= 0 || m_bar > 64)) || n_threads < 1)
+        return -1;
     std::vector<PeqW> flank_peq((m_flank + 63) / 64);
     build_peq(flank, m_flank, (int)flank_peq.size(), flank_peq.data());
     std::vector<PeqW> bar_peq((size_t)n_bars);
@@ -463,6 +478,7 @@ long bbio_myers_anchor(const unsigned char* seqs, const long* offs,
 long bbio_myers_valleys(const unsigned char* text, int n,
                         const unsigned char* lutm, const unsigned char* pat,
                         int m, int k, int* out_valleys, int cap) {
+    if (m <= 0 || m > 256) return -1;  // myers_scan word-count bound
     std::vector<unsigned char> tm((size_t)(n > 0 ? n : 1));
     for (int j = 0; j < n; j++) tm[j] = lutm[text[j]] & 0xF;
     std::vector<PeqW> peq((m + 63) / 64);
@@ -485,7 +501,12 @@ long bbio_reader_next_batch(void* rp, int max_records, char* data,
     long n_rec = 0;
     long out = 0;
     while (n_rec < max_records) {
-        r.compact();
+        // Amortized compaction: erasing the consumed prefix is an
+        // O(buf) memmove, so doing it every record made the reader
+        // O(records x CHUNK) per chunk (~2GB moved per 1MB read at
+        // 500B records).  Compact only once >= half a chunk has been
+        // consumed — O(1) amortized per byte, memory still bounded.
+        if (r.buf_pos >= CHUNK / 2) r.compact();
         // ensure at least one byte
         if (r.buf_pos >= r.buf.size()) {
             if (!r.fill()) {

@@ -103,15 +103,16 @@ def _slab_windows(rows, row_idx, starts, W: int):
     with perfect locality — gathering the CONTAINING 4-byte word and
     extracting the byte in-register, because a u8 take_along_axis
     fights the VPU's (4, 1) byte packing (~2x slower measured).
-    Starts must be >= 0 (true for every caller); columns past the row
-    or window are masked by the callers, so clamp artifacts are never
-    read."""
+    Out-of-range columns (including negative starts — the right
+    boundary window can start at -1 for minimum-length reads) are
+    clamped into the row; callers mask those positions, so clamp
+    artifacts are never read."""
     R, L = rows.shape
     H = row_idx.shape[0]
     nsub = W // 128 + 2
     if L % 128 != 0 or L // 128 < nsub:
         jpos = jnp.arange(W, dtype=jnp.int32)
-        cols = jnp.minimum(starts[:, None] + jpos[None, :], L - 1)
+        cols = jnp.clip(starts[:, None] + jpos[None, :], 0, L - 1)
         flat = row_idx.astype(jnp.int32)[:, None] * L + cols
         return jnp.take(rows.reshape(-1), flat)
     # rows as little-endian u32 words: byte j of row r lives in word
@@ -447,14 +448,22 @@ def pack_meta_np(meta) -> np.ndarray:
     tsc, tec = m[:, M_TSC], m[:, M_TEC]
     lo, hi = m[:, M_LO], m[:, M_HI]
     baserow, nch = m[:, M_BASEROW], m[:, M_NCHUNKS]
-    assert tsc.min(initial=0) >= 0 and lo.min(initial=0) >= 0
-    assert hi.min(initial=0) >= -1 and baserow.min(initial=0) >= 0
-    assert max(tsc.max(initial=0), tec.max(initial=0),
-               lo.max(initial=0), hi.max(initial=0) + 1) < 1 << 14, \
-        "row coordinate exceeds the 14-bit meta wire field"
-    assert baserow.max(initial=0) < 1 << 16, "baserow exceeds 16 bits"
-    assert 0 <= nch.min(initial=0) and nch.max(initial=0) < 1 << 15, \
-        "nchunks exceeds 15 bits"
+    # Real exceptions, not asserts: an overflow here silently bleeds
+    # into the adjacent bit field under python -O (wrong chunk base
+    # rows -> windows gathered from unrelated reads).
+    if not (
+        tsc.min(initial=0) >= 0
+        and lo.min(initial=0) >= 0
+        and hi.min(initial=0) >= -1
+        and baserow.min(initial=0) >= 0
+        and max(tsc.max(initial=0), tec.max(initial=0),
+                lo.max(initial=0), hi.max(initial=0) + 1) < 1 << 14
+    ):
+        raise ValueError("row coordinate exceeds the 14-bit meta wire field")
+    if baserow.max(initial=0) >= 1 << 16:
+        raise ValueError("baserow exceeds the 16-bit meta wire field")
+    if nch.min(initial=0) < 0 or nch.max(initial=0) >= 1 << 15:
+        raise ValueError("nchunks exceeds the 15-bit meta wire field")
     out = np.empty((m.shape[0], META_WIRE_COLS), dtype=np.int32)
     out[:, 0] = tsc | (tec << 16)
     out[:, 1] = (

@@ -616,9 +616,18 @@ def test_meta_wire_roundtrip():
     assert np.array_equal(back, meta)
 
     # out-of-range coordinates must refuse to pack, not corrupt
+    # (ValueError, not assert: asserts vanish under python -O)
     bad = meta.copy()
     bad[5, comp.M_TEC] = 1 << 14
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
+        comp.pack_meta_np(bad)
+    bad = meta.copy()
+    bad[5, comp.M_BASEROW] = 1 << 16
+    with pytest.raises(ValueError):
+        comp.pack_meta_np(bad)
+    bad = meta.copy()
+    bad[5, comp.M_NCHUNKS] = 1 << 15
+    with pytest.raises(ValueError):
         comp.pack_meta_np(bad)
 
 

@@ -49,6 +49,29 @@ def test_native_reader_gzip_and_multifile(tmp_path):
     assert flat[2][1] == b"A" * 300
 
 
+def test_native_reader_gzip_no_trailing_newline(tmp_path):
+    """A .gz whose decompressed content lacks a final newline must not
+    stitch its last qual line onto the NEXT file's first record: the
+    gzip fill path has to report one EOF between files exactly like
+    the plain path's final fread()==0 (regression: close-on-productive
+    -fill used to let find_nl continue into file B)."""
+    p1 = tmp_path / "a.fastq.gz"
+    p2 = tmp_path / "b.fastq.gz"
+    with gzip.open(p1, "wb") as fh:
+        fh.write(b"@readA\nACGT\n+\nIIII")  # no trailing newline
+    _write_fastq(p2, RECORDS[:2], use_gzip=True)
+    flat = [
+        r
+        for b in fastx_native.iter_fastq_batches_native([str(p1), str(p2)], 10)
+        for r in b
+    ]
+    assert [(h, s.decode(), q.decode()) for h, s, q in flat] == [
+        ("readA", "ACGT", "IIII"),
+        RECORDS[0],
+        RECORDS[1],
+    ]
+
+
 def test_native_matches_python_reader(tmp_path):
     import random
 
