@@ -109,7 +109,10 @@ def merge_annotation_shards(base: str, world: int, delete: bool = True) -> None:
                     readers.append(fh)
                 for side in sidecars:
                     idx_iters.append(open(side))
-                out.write(header + "\n")
+                # Header is lazy like AnnotationWriter's: an all-empty
+                # merge must stay a 0-byte file, byte-identical to a
+                # zero-row single-host run.
+                wrote_header = False
                 live = [True] * world
                 rank = 0
                 while any(live):
@@ -120,6 +123,9 @@ def merge_annotation_shards(base: str, world: int, delete: bool = True) -> None:
                         else:
                             _si, n_rows = line.split("\t")
                             for _ in range(int(n_rows)):
+                                if not wrote_header:
+                                    out.write(header + "\n")
+                                    wrote_header = True
                                 out.write(readers[rank].readline())
                     rank = (rank + 1) % world
             finally:

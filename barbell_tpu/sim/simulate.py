@@ -108,6 +108,11 @@ def _gen_group(
     barcodes: Sequence[Tuple[str, bytes]],
 ) -> _Collection:
     col = _Collection()
+    if group in ("GroupIV", "GroupV", "GroupVI") and len(barcodes) < 2:
+        raise ValueError(
+            f"{group} needs >= 2 barcodes (it pairs two distinct barcodes per read); "
+            f"got {len(barcodes)}"
+        )
     for i in range(n):
         # Group-prefixed ids so multiple group files can be mixed in one run.
         read_id = f"{group}_seq_{i}"

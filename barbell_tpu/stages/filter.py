@@ -22,7 +22,12 @@ from .pattern import Pattern, match_pattern, pattern_from_str, patterns_from_fil
 
 
 def check_filter_pass(annotations: List[BarbellMatch], patterns: Sequence[Pattern]) -> bool:
-    """Mutates ``annotations`` in place (adds cuts); returns pass/fail."""
+    """Mutates ``annotations`` in place (adds cuts); returns pass/fail.
+
+    Cuts are written *before* the pass decision, so rows routed to the
+    ``--dropped`` file can carry cut markers — this matches the
+    reference exactly (`src/filter/filter.rs:201-213` mutates the
+    group, then returns ``max_matches == annotations.len()``)."""
     max_matches = 0
     best_cut_positions = None
     for pattern in patterns:

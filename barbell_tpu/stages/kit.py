@@ -104,6 +104,9 @@ def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
         flip=False,
         verbose=config.verbose,
         use_gzip=config.gzip,
+        # Threaded writers only pay off when gzip is the bottleneck;
+        # plain writes are raw-I/O bound and the queue hop just adds cost.
+        threads=config.threads if config.gzip else 1,
     )
 
     print("\nDone!")

@@ -77,6 +77,19 @@ def _parse_position(pos_str: str) -> Optional[Tuple[str, Tuple[int, int]]]:
     return name, rng
 
 
+def _warn_dropped_param(param: str, kind: str) -> None:
+    """Malformed position/placeholder/cut params are *dropped*, exactly
+    like the reference parser's ``if let Some(..)`` arms
+    (`src/filter/pattern.rs:324-343`) — but dropping a constraint
+    silently weakens the filter, so we at least say so on stderr."""
+    import sys
+
+    print(
+        f"warning: ignoring malformed {kind} parameter {param!r} in filter pattern",
+        file=sys.stderr,
+    )
+
+
 def _parse_element(element_str: str) -> Optional[PatternElement]:
     parts = element_str.split("[", 1)
     if len(parts) != 2:
@@ -101,15 +114,19 @@ def _parse_element(element_str: str) -> Optional[PatternElement]:
             pos = _parse_position(param)
             if pos is not None:
                 el.relative_to, el.range = pos
+            else:
+                _warn_dropped_param(param, "position")
         elif param.startswith("?"):
             try:
                 el.placeholder = int(param[1:])
             except ValueError:
-                pass
+                _warn_dropped_param(param, "placeholder")
         elif param.startswith(">") or param.startswith("<"):
             cut = Cut.from_pattern_string(param)
             if cut is not None:
                 cuts.append(cut)
+            else:
+                _warn_dropped_param(param, "cut")
         elif param == "*":
             pass  # any label
         elif param:

@@ -258,6 +258,11 @@ class _ThreadedWriterPool:
                 pool.get(item[0]).write_record(item[1], item[2], item[3])
             except BaseException as exc:  # propagate on close
                 self._errors.append(exc)
+                # Keep draining (discarding) so a producer blocked on a
+                # full queue — and close_all's sentinel put — never
+                # deadlock against a dead worker.
+                while q.get() is not None:
+                    pass
                 return
 
     def get(self, group: str):

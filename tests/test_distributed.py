@@ -127,3 +127,16 @@ def test_cli_shard_flags(tmp_path):
         lines = [ln for ln in fh.read().splitlines() if ln.strip()]
     reads = {ln.split("\t", 1)[0] for ln in lines[1:]}
     assert len(reads) == 6
+
+def test_merge_all_empty_shards_stays_empty(tmp_path):
+    """A zero-row single-host annotate writes a 0-byte file (lazy
+    header); the sidecar merge of all-empty shards must match byte-for-byte."""
+    base = str(tmp_path / "anno.tsv")
+    world = 2
+    for rank in range(world):
+        shard = shard_output_path(base, rank, world)
+        open(shard, "w").close()  # lazy header: no rows -> empty file
+        with open(shard + ".idx", "w") as fh:
+            fh.write(f"{rank}\t0\n")  # reads processed, zero rows each
+    merge_annotation_shards(base, world)
+    assert os.path.getsize(base) == 0

@@ -203,3 +203,78 @@ def test_compare_time_mode(tmp_path):
     assert reports[0].wall_s is not None and reports[0].wall_s > 0
     assert reports[0].reads_per_sec > 0
     print_reports(reports)
+
+
+def test_compare_multislice_counts_read_once(tmp_path):
+    """Multi-slice outputs (``_N`` read-id suffixes) collapse onto the
+    base read: assigned can never exceed total_reads."""
+    from barbell_tpu.sim.compare import evaluate_group
+
+    fastq = tmp_path / "g.fastq"
+    fastq.write_text("@r1\nACGTACGT\n+\n!!!!!!!!\n")
+    truth = tmp_path / "g_truth.txt"
+    truth.write_text("r1\tbarcode01\n")
+    out = tmp_path / "out"
+    out.mkdir()
+    with open(out / "barcode01.trimmed.fastq", "w") as fh:
+        fh.write("@r1\nACGT\n+\n!!!!\n@r1_1\nACGT\n+\n!!!!\n")
+
+    report = evaluate_group("g", str(fastq), str(truth), str(out))
+    assert report.total_reads == 1
+    assert report.assigned == 1
+    assert report.correct == 1
+    assert report.assign_rate <= 1.0
+
+
+def test_compare_verify_reported_and_label_safe(tmp_path, capsys):
+    """--verify results appear in the printed report, and labels with no
+    numeric part (flank-only outputs) don't crash the checker."""
+    from barbell_tpu.sim.compare import (
+        GroupReport,
+        evaluate_group,
+        independent_check,
+        print_reports,
+    )
+
+    # digitless label: must return False, not raise
+    assert independent_check(b"ACGT" * 30, "none") is False
+
+    fastq = tmp_path / "g.fastq"
+    fastq.write_text("@r1\nACGTACGT\n+\n!!!!!!!!\n")
+    truth = tmp_path / "g_truth.txt"
+    truth.write_text("r1\tnone\n")
+    out = tmp_path / "out"
+    out.mkdir()
+    with open(out / "none.trimmed.fastq", "w") as fh:
+        fh.write("@r1\nACGT\n+\n!!!!\n")
+    report = evaluate_group("g", str(fastq), str(truth), str(out), verify=True)
+    assert report.checked == 1
+
+    print_reports([report, GroupReport(group="empty")])
+    shown = capsys.readouterr().out
+    assert "verified" in shown
+    assert "0/1" in shown
+
+
+def test_sim_pair_groups_need_two_barcodes(tmp_path):
+    import pytest
+
+    from barbell_tpu.sim.simulate import create_testdata, default_barcodes
+
+    with pytest.raises(ValueError, match=">= 2 barcodes"):
+        create_testdata(
+            2, str(tmp_path / "sim"), barcodes=default_barcodes(1), rc_frac=0.0,
+            seed=1, groups=("GroupIV",),
+        )
+
+
+def test_pattern_malformed_param_warns(capsys):
+    """Malformed params drop (reference parity) but warn on stderr."""
+    from barbell_tpu.stages.pattern import pattern_from_str
+
+    p = pattern_from_str("Ftag[fw, *, @left(0-250), >>x]")
+    assert p.elements[0].relative_to is None
+    assert p.elements[0].cuts is None
+    err = capsys.readouterr().err
+    assert "malformed position" in err
+    assert "malformed cut" in err

@@ -225,3 +225,27 @@ def test_threaded_writer_pool_outputs_identical(tmp_path):
 
     assert run(tmp_path / "plain1", 1, False) == run(tmp_path / "plain4", 4, False)
     assert run(tmp_path / "gz1", 1, True) == run(tmp_path / "gz4", 4, True)
+
+
+def test_threaded_pool_dead_worker_does_not_deadlock(tmp_path):
+    """A worker that dies on a write error must drain its queue so
+    producers (and close_all's sentinel put) never block; the error
+    re-raises on the next write or on close."""
+    import pytest
+
+    from barbell_tpu.stages.trim import _ThreadedWriterPool
+
+    pool = _ThreadedWriterPool(str(tmp_path), use_gzip=False, n_threads=1)
+
+    def _boom(group):
+        raise OSError("disk full")
+
+    # patch the instance the worker thread already holds a reference to
+    pool._pools[0].get = _boom
+    handle = pool.get("bc01")
+    with pytest.raises(OSError, match="disk full"):
+        # More writes than the queue holds (maxsize 4096): pre-fix this
+        # deadlocked on a full queue once the worker died.
+        for _ in range(5000):
+            handle.write_record(b"@r", b"ACGT", b"!!!!")
+        pool.close_all()
