@@ -184,8 +184,15 @@ def _dispatch(args) -> int:
         )
         inputs = args.input
         output = args.output
+        if args.shard_world is None and args.shard_rank is not None:
+            raise ValueError("--shard-rank requires --shard-world")
         if args.shard_world is not None:
             rank = args.shard_rank or 0
+            if args.shard_world < 1 or not (0 <= rank < args.shard_world):
+                raise ValueError(
+                    f"--shard-rank must be in [0, --shard-world); got "
+                    f"rank {rank}, world {args.shard_world}"
+                )
             from .parallel.distributed import shard_output_path
 
             config.shard = (rank, args.shard_world)

@@ -203,6 +203,13 @@ def get_barcodes(from_label: str, to_label: str, use_12a_flag: bool) -> List[str
 
     start, end = (from_num, to_num) if from_num <= to_num else (to_num, from_num)
     table = ALL_AMPLICON_BARS if pf_from == "AB" else ALL_BARS
+    if start < 1 or end > len(table):
+        # the reference's `ALL_BARS[from..to]` slice panics out of range
+        # (`src/kits/kits.rs:761-770`); never clip silently
+        raise ValueError(
+            f"Barcode label range {from_label}..{to_label} outside "
+            f"1..{len(table)}"
+        )
     labels = list(table[start - 1 : end])
 
     use_12a = use_12a_flag or ((from_a or to_a) and start <= 12 <= end)

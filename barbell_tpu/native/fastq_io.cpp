@@ -48,6 +48,7 @@ struct Reader {
     std::vector<unsigned char> zin;
     size_t zin_len = 0, zin_pos = 0;
     bool zin_eof = false;
+    bool z_member_done = true;  // inflate sits at a gzip member boundary
 
     std::vector<char> buf;  // decompressed/raw buffered bytes
     size_t buf_pos = 0;
@@ -69,22 +70,35 @@ struct Reader {
         const std::string& p = paths[path_idx++];
         fp = fopen(p.c_str(), "rb");
         if (!fp) { failed = true; return false; }
+        // Sniff the gzip magic WITHOUT rewinding: FIFOs / process
+        // substitution (<(zcat ...)) are not seekable, so the sniffed
+        // bytes are handed forward instead of re-read.
         int c1 = fgetc(fp), c2 = fgetc(fp);
         is_gzip = (c1 == 0x1f && c2 == 0x8b);
-        rewind(fp);
         if (is_gzip) {
             memset(&zs, 0, sizeof(zs));
             if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) { failed = true; return false; }
             zin.resize(CHUNK);
-            zin_len = zin_pos = 0;
+            zin[0] = 0x1f;
+            zin[1] = 0x8b;
+            zin_len = 2;
+            zin_pos = 0;
             zin_eof = false;
+            z_member_done = true;
+        } else {
+            if (c1 != EOF) buf.push_back(static_cast<char>(c1));
+            if (c2 != EOF) buf.push_back(static_cast<char>(c2));
         }
         return true;
     }
 
     // Append more bytes to buf; returns false at EOF of current file.
     bool fill() {
-        if (!fp && !open_next()) return false;
+        if (!fp) {
+            size_t before = buf.size();
+            if (!open_next()) return false;
+            if (buf.size() > before) return true;  // sniffed bytes handed over
+        }
         size_t old = buf.size();
         if (!is_gzip) {
             buf.resize(old + CHUNK);
@@ -106,17 +120,25 @@ struct Reader {
                 zin_pos = 0;
                 if (zin_len == 0) zin_eof = true;
             }
-            if (zin_pos == zin_len && zin_eof) break;  // input exhausted
+            if (zin_pos == zin_len && zin_eof) {
+                // Input exhausted mid-member = TRUNCATED stream: fail
+                // loudly (the pure-Python path raises EOFError here);
+                // a clean EOF only ever lands on a member boundary.
+                if (!z_member_done) { failed = true; buf.resize(old); return false; }
+                break;
+            }
             zs.next_in = zin.data() + zin_pos;
             zs.avail_in = static_cast<unsigned>(zin_len - zin_pos);
             int rc = inflate(&zs, Z_NO_FLUSH);
             zin_pos = zin_len - zs.avail_in;
             if (rc == Z_STREAM_END) {
                 // multi-member gzip support: reset and keep inflating
+                z_member_done = true;
                 inflateReset2(&zs, 16 + MAX_WBITS);
                 continue;
             }
             if (rc != Z_OK) { failed = true; buf.resize(old); return false; }
+            z_member_done = false;
         }
         buf.resize(old + (CHUNK - zs.avail_out));
         // Close ONLY on a zero-byte fill: a productive fill that also

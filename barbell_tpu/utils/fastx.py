@@ -18,7 +18,13 @@ def _open_maybe_gzip(path: str) -> io.BufferedReader:
     magic = fh.peek(2)[:2] if hasattr(fh, "peek") else fh.read(2)
     if magic == b"\x1f\x8b":
         fh.seek(0)
-        return io.BufferedReader(gzip.GzipFile(fileobj=fh))  # type: ignore[arg-type]
+        gz = gzip.GzipFile(fileobj=fh)
+        # GzipFile(fileobj=...) does not own the fd; hand it ownership
+        # (myfileobj is closed by GzipFile.close) so closing the reader
+        # deterministically releases the descriptor instead of waiting
+        # for GC.
+        gz.myfileobj = fh  # type: ignore[assignment]
+        return io.BufferedReader(gz)  # type: ignore[arg-type]
     fh.seek(0)
     return io.BufferedReader(fh)
 

@@ -106,12 +106,17 @@ class NativeFastqWriter:
             rc = self._lib.bbio_writer_write_raw(
                 self._h, bytes(self._buf), len(self._buf)
             )
-            self._buf.clear()
             if rc != 0:
+                # keep the buffer: a caller may retry after the error
                 raise OSError("native FASTQ write failed")
+            self._buf.clear()
 
     def close(self) -> None:
         if self._h:
-            self.flush()
-            self._lib.bbio_writer_close(self._h)
-            self._h = None
+            try:
+                self.flush()
+            finally:
+                # always release the handle (for gzip this writes the
+                # trailer); a failed flush must not leak the FILE*
+                self._lib.bbio_writer_close(self._h)
+                self._h = None

@@ -298,6 +298,17 @@ def main():
     # The shared chip's throughput varies +/-20% minute to minute: time
     # REPEAT fresh datasets (fresh per pass — the remote runtime caches
     # results for repeated identical inputs) and report the MEDIAN.
+    if N_READS < BATCH:
+        raise SystemExit(
+            f"BENCH_READS={N_READS} < BENCH_BATCH={BATCH}: zero full "
+            f"batches — nothing to measure"
+        )
+    if N_READS % BATCH:
+        print(
+            f"# note: dropping {N_READS % BATCH}-read tail "
+            f"(only full {BATCH}-read batches are timed)",
+            file=sys.stderr,
+        )
     pass_times = []
     for rep in range(REPEAT):
         reads = make(N_READS, seed=rep)

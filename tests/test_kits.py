@@ -101,3 +101,16 @@ def test_all_kits_expand():
             labels, seqs = db.expand_template(tmpl)
             assert len(labels) == len(seqs) > 0
             assert len({len(s) for s in seqs}) == 1, f"unequal lengths in {spec.name}"
+
+
+def test_get_barcodes_out_of_range_raises():
+    """Reference parity: kits.rs's label-range slice panics out of range
+    (`src/kits/kits.rs:761-770`) — never clip silently."""
+    import pytest
+
+    from barbell_tpu.kits.database import get_barcodes
+
+    with pytest.raises(ValueError, match="outside"):
+        get_barcodes("BC01", "BC97", False)
+    with pytest.raises(ValueError, match="outside"):
+        get_barcodes("AB01", "AB25", False)

@@ -307,3 +307,54 @@ def test_native_myers_valleys_match_dp():
         )
         assert got_n == len(want), (pat, txt, k, want, out[:got_n])
         assert out[:got_n].tolist() == want
+
+
+def test_native_reader_truncated_gzip_errors(tmp_path):
+    """A gzip stream cut mid-member must raise, not report clean EOF —
+    silent data loss is worse than an error (the pure-Python path raises
+    EOFError on the same file)."""
+    p = tmp_path / "in.fastq.gz"
+    _write_fastq(p, RECORDS * 40, use_gzip=True)
+    blob = p.read_bytes()
+    trunc = tmp_path / "trunc.fastq.gz"
+    trunc.write_bytes(blob[: len(blob) // 2])
+    with pytest.raises(ValueError):
+        list(fastx_native.iter_fastq_batches_native([str(trunc)], 8))
+
+
+def test_native_reader_fifo_input(tmp_path):
+    """Process-substitution style inputs (FIFOs) are not seekable; the
+    gzip sniff must not rewind."""
+    import os
+    import threading
+
+    fifo = tmp_path / "pipe.fastq"
+    os.mkfifo(fifo)
+    payload = "".join(f"@{h}\n{s}\n+\n{q}\n" for h, s, q in RECORDS)
+
+    def feed():
+        with open(fifo, "w") as fh:
+            fh.write(payload)
+
+    t = threading.Thread(target=feed)
+    t.start()
+    try:
+        batches = list(fastx_native.iter_fastq_batches_native([str(fifo)], 2))
+    finally:
+        t.join()
+    flat = [r for b in batches for r in b]
+    assert [(h, s.decode(), q.decode()) for h, s, q in flat] == RECORDS
+
+
+def test_native_reader_multimember_gzip(tmp_path):
+    """Concatenated gzip members (bgzip-style) still read end to end."""
+    a, b = tmp_path / "a.gz", tmp_path / "b.gz"
+    _write_fastq(a, RECORDS[:2], use_gzip=True)
+    _write_fastq(b, RECORDS[2:], use_gzip=True)
+    cat = tmp_path / "in.fastq.gz"
+    cat.write_bytes(a.read_bytes() + b.read_bytes())
+    flat = [
+        r for bt in fastx_native.iter_fastq_batches_native([str(cat)], 2)
+        for r in bt
+    ]
+    assert [(h, s.decode(), q.decode()) for h, s, q in flat] == RECORDS
