@@ -121,6 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-extended", action="store_true")
     p.add_argument("--alpha", type=float, default=0.4)
     p.add_argument("--gzip", action="store_true")
+    p.add_argument(
+        "--no-stream",
+        action="store_true",
+        help="Run the four stages as separate file passes instead of the "
+        "fused one-pass pipeline (outputs are byte-identical either way)",
+    )
     _add_backend_args(p)
 
     # ----------------------------------------------------------------- kits
@@ -263,6 +269,7 @@ def _dispatch(args) -> int:
             gzip=args.gzip,
             backend=args.backend,
             batch_size=args.batch_size,
+            stream=not args.no_stream,
         )
         demux_using_kit(args.input, config)
 

@@ -37,6 +37,10 @@ class KitRunConfig:
     gzip: bool = False
     backend: str = "auto"
     batch_size: int = 2048
+    # Fused one-pass pipeline (annotate+inspect+filter+trim per batch,
+    # byte-identical stage files).  Verbose runs use the staged path so
+    # the per-stage `{step}.{ms}.log` files keep their contract.
+    stream: bool = True
 
 
 def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
@@ -50,6 +54,10 @@ def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
     print(f"Kit type: {'Maximize' if config.maximize else 'Safe'}")
     for tmpl in kit_info.templates:
         print(f"Barcodes: {tmpl.barcodes.from_label} - {tmpl.barcodes.to_label}")
+
+    if config.stream and not config.verbose:
+        _demux_using_kit_streaming(fastq_files, config, kit_info)
+        return
 
     print("\nAnnotating reads...")
     annotate_config = AnnotateConfig(
@@ -107,6 +115,176 @@ def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
         # Threaded writers only pay off when gzip is the bottleneck;
         # plain writes are raw-I/O bound and the queue hop just adds cost.
         threads=config.threads if config.gzip else 1,
+    )
+
+    print("\nDone!")
+
+
+def _demux_using_kit_streaming(
+    fastq_files: Sequence[str], config: KitRunConfig, kit_info
+) -> None:
+    """Fused one-pass kit pipeline.
+
+    The staged runner mirrors the reference's four serial file passes
+    (`src/kits/use_kit.rs:11-109`): annotate writes annotation.tsv, then
+    inspect/filter re-read it, then trim re-reads the raw FASTQs.  On a
+    device backend that wastes the pipeline's idle host time: while a
+    batch's device calls are in flight, the host could already be
+    inspecting/filtering/trimming earlier batches.  This runner streams
+    every stage per batch — inspect renders BEFORE filter mutates cuts
+    (inspect reads annotation.tsv pre-cuts in the staged path), trim
+    slices the in-memory seq/qual instead of re-reading ~2x the input
+    bytes — and still writes byte-identical annotation.tsv,
+    pattern_per_read.tsv, filtered.tsv, and per-label FASTQs
+    (enforced by tests/test_stages.py).
+
+    Reads with the same id are merged per *consecutive* run, matching
+    the staged filter/inspect grouping (`read_annotation_groups`); a
+    duplicate read id recurring non-adjacently is the one (degenerate,
+    malformed-input) case where trim output can differ from the staged
+    path's whole-file HashMap lookup.
+    """
+    from collections import Counter, deque
+
+    from ..models.barcodes import BarcodeGroup
+    from ..models.pipeline import engine_map_batches
+    from ..models.records import AnnotationWriter
+    from ..utils.fastx import split_fastq_header, validate_fastq_paths
+    from ..utils.fastx_native import iter_fastq_batches_auto
+    from ..utils.progress import TRIM_METRICS, ProgressTracker
+    from .annotate import _apply_flank_threshold, _make_engine
+    from .inspect import colorize_pattern, get_group_structure
+    from .filter import check_filter_pass
+    from .trim import _ThreadedWriterPool, _WriterPool, process_read_and_anno
+
+    out = config.output_folder
+    annotate_config = AnnotateConfig(
+        max_flank_errors=config.max_flank_errors,
+        alpha=config.alpha,
+        n_threads=config.threads,
+        verbose=config.verbose,
+        min_score=config.min_score,
+        min_score_diff=config.min_score_diff,
+        use_extended=config.use_extended,
+        backend=config.backend,
+        batch_size=config.batch_size,
+    )
+
+    groups = BarcodeGroup.from_kit(config.kit_name, config.use_extended)
+    for i, group in enumerate(groups):
+        print(f"{group.barcode_type.as_str()}: {i}")
+        group.display(5)
+    groups = _apply_flank_threshold(groups, annotate_config)
+    engine = _make_engine(groups, annotate_config)
+
+    pattern_strs = preset_patterns(kit_info.pattern_class, config.maximize)
+    patterns = [pattern_from_str(p) for p in pattern_strs]
+    label_config = LabelConfig(
+        include_label=True,
+        include_orientation=False,
+        include_flank=False,
+        sort_labels=False,
+        only_side="left",
+    )
+
+    print("\nProcessing reads (fused annotate+inspect+filter+trim)...")
+    validate_fastq_paths(fastq_files)
+
+    meta_queue: deque = deque()  # per-batch (descs, quals)
+
+    def batches():
+        for batch in iter_fastq_batches_auto(fastq_files, config.batch_size):
+            ids, descs, seqs, quals = [], [], [], []
+            for h, s, q in batch:
+                rid, desc = split_fastq_header(h)
+                ids.append(rid)
+                descs.append(desc)
+                seqs.append(s)
+                quals.append(q)
+            meta_queue.append((descs, quals))
+            yield ids, seqs
+
+    progress = ProgressTracker(TRIM_METRICS)
+    TOTAL, KEPT, SPLIT, FAILED = 0, 1, 2, 3
+    pattern_count: Counter = Counter()
+    bucket_size = 250
+
+    anno_fh = open(os.path.join(out, "annotation.tsv"), "w")
+    anno_writer = AnnotationWriter(anno_fh)
+    ppr_fh = open(os.path.join(out, "pattern_per_read.tsv"), "w")
+    filt_fh = open(os.path.join(out, "filtered.tsv"), "w")
+    filt_writer = AnnotationWriter(filt_fh)
+    failed_fh = open(config.failed_out, "w") if config.failed_out else None
+    n_threads = config.threads if config.gzip else 1
+    if n_threads > 1:
+        writers = _ThreadedWriterPool(out, config.gzip, n_threads)
+    else:
+        writers = _WriterPool(out, config.gzip)
+
+    # One consecutive-same-id run in flight: rows are the run's merged
+    # annotation rows (pre-cut until flushed), recs its FASTQ records.
+    pend_id: Optional[str] = None
+    pend_rows: list = []
+    pend_recs: list = []
+
+    def flush_run() -> None:
+        if pend_id is None or not pend_rows:
+            return
+        label = get_group_structure(pend_rows, bucket_size)
+        ppr_fh.write(f"{pend_id}\t{label}\n")
+        pattern_count[label] += 1
+        if not check_filter_pass(pend_rows, patterns):
+            return
+        filt_writer.write_rows(pend_rows)
+        for desc, seq, qual in pend_recs:
+            results = process_read_and_anno(
+                seq, qual, pend_rows, label_config, skip_trim=False, flip=False
+            )
+            if results:
+                progress.inc(KEPT)
+            else:
+                progress.inc(FAILED)
+                if failed_fh is not None:
+                    failed_fh.write(pend_id + "\n")
+            if len(results) > 1:
+                progress.inc(SPLIT)
+            for tseq, tqual, grp, suffix in results:
+                w = writers.get(grp)
+                header = f"{pend_id}{suffix} {desc}" if desc else f"{pend_id}{suffix}"
+                w.write_record(header.encode("ascii"), bytes(tseq), bytes(tqual))
+
+    try:
+        for ids, seqs, per_read in engine_map_batches(engine, batches()):
+            descs, quals = meta_queue.popleft()
+            anno_writer.write_rows([m for ms in per_read for m in ms])
+            for rid, desc, seq, qual, matches in zip(ids, descs, seqs, quals, per_read):
+                progress.inc(TOTAL)
+                if rid != pend_id:
+                    flush_run()
+                    pend_id, pend_rows, pend_recs = rid, [], []
+                pend_rows.extend(matches)
+                pend_recs.append((desc, seq, qual))
+            progress.refresh()
+        flush_run()
+        anno_writer.finish()
+        filt_writer.finish()
+    finally:
+        writers.close_all()
+        for fh in (anno_fh, ppr_fh, filt_fh):
+            fh.close()
+        if failed_fh is not None:
+            failed_fh.close()
+    progress.finish("reads")
+
+    print(f"\nFound {len(pattern_count)} unique patterns")
+    ranked = sorted(pattern_count.items(), key=lambda kv: -kv[1])
+    for i, (pattern, count) in enumerate(ranked[:10]):
+        print(f"\tPattern {i + 1}: {count} occurrences")
+        print(f"\t\t{colorize_pattern(pattern)}")
+    print(f"Showed {min(10, len(ranked))} / {len(ranked)} patterns")
+    anno_path = os.path.join(out, "annotation.tsv")
+    print(
+        f"Want to see more patterns? Run: `barbell-tpu inspect -i {anno_path} -n 100`"
     )
 
     print("\nDone!")

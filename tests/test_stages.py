@@ -176,6 +176,98 @@ def test_kit_pipeline_end_to_end(tmp_path):
     assert correct == len(assigned)
 
 
+@pytest.mark.slow
+def test_kit_streaming_matches_staged(tmp_path):
+    """The fused one-pass kit runner must produce byte-identical stage
+    files (annotation.tsv, pattern_per_read.tsv, filtered.tsv, per-label
+    FASTQs, failed list) to the four-pass staged runner."""
+    sim_dir = tmp_path / "sim"
+    barcodes = default_barcodes(6)
+    create_testdata(
+        8,
+        str(sim_dir),
+        barcodes=barcodes,
+        rc_frac=0.5,
+        seed=11,
+        groups=("GroupII", "GroupIII", "GroupVI"),
+    )
+    fastq = tmp_path / "mixed.fastq"
+    with open(fastq, "w") as out:
+        for g in ("GroupII", "GroupIII", "GroupVI"):
+            out.write(open(sim_dir / f"{g}.fastq").read())
+        # adjacent duplicate read ids: the one duplicate layout whose
+        # staged/streamed behavior must still agree (a NON-adjacent
+        # recurring id is the documented divergence — the staged trim's
+        # whole-file HashMap merges those, the streamed run keeps them
+        # per consecutive run)
+        lines = open(sim_dir / "GroupII.fastq").read().splitlines()
+        rec = "@dup_read\n" + "\n".join(lines[1:4]) + "\n"
+        out.write(rec)
+        out.write(rec)
+
+    outputs = {}
+    for mode, stream in (("staged", False), ("streamed", True)):
+        out_dir = tmp_path / mode
+        config = KitRunConfig(
+            kit_name="SQK-RBK110-96",
+            output_folder=str(out_dir),
+            backend="oracle",
+            batch_size=8,
+            maximize=True,
+            failed_out=str(out_dir / "failed.txt"),
+            stream=stream,
+        )
+        demux_using_kit([str(fastq)], config)
+        files = {
+            f: (out_dir / f).read_bytes()
+            for f in sorted(os.listdir(out_dir))
+            if f != "failed.txt"
+        }
+        files["failed.txt"] = (
+            (out_dir / "failed.txt").read_bytes()
+            if (out_dir / "failed.txt").exists()
+            else b""
+        )
+        outputs[mode] = files
+
+    assert sorted(outputs["staged"]) == sorted(outputs["streamed"])
+    for name, blob in outputs["staged"].items():
+        assert outputs["streamed"][name] == blob, f"{name} differs"
+    assert any(n.endswith(".trimmed.fastq") for n in outputs["staged"])
+
+
+@pytest.mark.slow
+def test_kit_streaming_matches_staged_gzip(tmp_path):
+    """Gzip trim outputs stay byte-identical across the two runners."""
+    import gzip as _gzip
+
+    sim_dir = tmp_path / "sim"
+    create_testdata(
+        6, str(sim_dir), barcodes=default_barcodes(4), rc_frac=0.0, seed=5,
+        groups=("GroupII",),
+    )
+    blobs = {}
+    for mode, stream in (("staged", False), ("streamed", True)):
+        out_dir = tmp_path / mode
+        config = KitRunConfig(
+            kit_name="SQK-RBK110-96",
+            output_folder=str(out_dir),
+            backend="oracle",
+            batch_size=4,
+            gzip=True,
+            threads=3,
+            stream=stream,
+        )
+        demux_using_kit([str(sim_dir / "GroupII.fastq")], config)
+        blobs[mode] = {
+            f: _gzip.decompress((out_dir / f).read_bytes())
+            for f in sorted(os.listdir(out_dir))
+            if f.endswith(".trimmed.fastq.gz")
+        }
+    assert blobs["staged"] == blobs["streamed"]
+    assert blobs["staged"]
+
+
 def test_inspect_colorize_pattern():
     from barbell_tpu.stages.inspect import colorize_pattern
 
