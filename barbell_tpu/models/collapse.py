@@ -48,8 +48,10 @@ def _select_best(group: List[BarbellMatch]) -> BarbellMatch:
 def collapse_overlapping_matches(
     matches: List[BarbellMatch], filter_overlap: float
 ) -> List[BarbellMatch]:
-    if not matches:
-        return []
+    if len(matches) <= 1:
+        # nothing can overlap; skipping the sorts halves the batched
+        # engine's per-read host cost for the typical 1-construct read
+        return list(matches)
     ordered = sorted(matches, key=lambda m: m.read_start_flank)
 
     groups: List[List[BarbellMatch]] = []

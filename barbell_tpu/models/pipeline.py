@@ -1146,9 +1146,14 @@ class JaxDemuxEngine:
             comp.REC_IVPJ, comp.REC_IVEJ, comp.REC_IVPI, comp.REC_IVEI,
             comp.REC_IVCOST,
         )
+        # inlined oracle.cost_to_int — a function call + int() per hit
+        # is ~2.4us of pure GIL time, and this loop bounds pipeline depth
+        SCALE = oracle.COST_SCALE
+        HALF = SCALE // 2
+        check_overflow = bool(overflow_reads)
         for oi in order.tolist():
             ridx = reads_l[oi]
-            if ridx in overflow_reads:
+            if check_overflow and ridx in overflow_reads:
                 continue
             row = rec_l[oi]
             n = lens_l[ridx]
@@ -1159,7 +1164,7 @@ class JaxDemuxEngine:
                 fs, fe = oracle.rc_span_to_fwd(fs_t, fe_t, n)
             else:
                 fs, fe = fs_t, fe_t
-            flank_cost = oracle.cost_to_int(row[R_COST])
+            flank_cost = (row[R_COST] + HALF) // SCALE
             if row[R_ACC]:
                 if row[R_HASIV] == 0:
                     raise RuntimeError("No barcode match region found; unusual")
