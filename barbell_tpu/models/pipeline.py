@@ -165,7 +165,7 @@ class _ShardPlan:
     """Row plan for one device shard (or the whole batch, single-device)."""
 
     __slots__ = (
-        "rows_meta", "simple_reads", "fwd_simple_row", "fwd_cover",
+        "rows_meta", "simple_reads", "fwd_cover",
         "long_content", "R_host", "S",
     )
 
@@ -328,7 +328,13 @@ class JaxDemuxEngine:
     ) -> List[List[BarbellMatch]]:
         jnp = self._jnp
         B = len(seqs)
-        seq_bytes = [dna.seq_to_bytes(s).tobytes() for s in seqs]
+        # bytes input (the native reader's output) is already the wire
+        # form — the frombuffer+tobytes round trip is two copies of pure
+        # GIL time per read
+        seq_bytes = [
+            s if type(s) is bytes else dna.seq_to_bytes(s).tobytes()
+            for s in seqs
+        ]
         lens = np.array([len(s) for s in seq_bytes], dtype=np.int64)
         if B == 0 or lens.max(initial=0) == 0:
             return [[] for _ in seqs]
@@ -474,20 +480,26 @@ class JaxDemuxEngine:
         fwd+rc chunk rows of long reads.  All row indices are
         shard-local; read indices stay global."""
         plan = _ShardPlan()
+        # rows [0, S) are the simple reads, one fwd row each, fully
+        # described by (read_idx, len) — no per-row object (a _Row per
+        # simple read was ~4ms of GIL time per 2048-read batch).
+        # rows_meta holds ONLY the long-read chunk rows [S, R_host).
         rows_meta: List[_Row] = []
         simple_reads: List[int] = []
-        fwd_simple_row: Dict[int, int] = {}
         fwd_cover: Dict[int, List[Tuple[int, int]]] = {}
         long_content: List[np.ndarray] = []
 
         # --- simple reads (fit one row; raw bytes, native-encoded) -----
+        long_reads: List[int] = []
         for ridx in read_indices:
-            n = int(lens[ridx])
-            if n == 0 or n > L:
+            n = lens[ridx]
+            if n == 0:
                 continue
-            fwd_simple_row[ridx] = len(rows_meta)
-            simple_reads.append(ridx)
-            rows_meta.append(_Row(Strand.Fwd, ridx, 0, 0, n, True, True, 0, n))
+            if n > L:
+                long_reads.append(ridx)
+            else:
+                simple_reads.append(ridx)
+        S = len(simple_reads)
 
         # --- long reads: host-built fwd + rc chunk rows ----------------
         def chunk_spans(n: int):
@@ -500,7 +512,6 @@ class JaxDemuxEngine:
                 out.append((offset, L, offset == 0, False))
                 offset += step
 
-        long_reads = [r for r in read_indices if lens[r] > L]
         for ridx in long_reads:
             with _phase("encode"):
                 arr = dna.encode(seq_bytes[ridx])
@@ -510,7 +521,7 @@ class JaxDemuxEngine:
             for strand, text in ((Strand.Fwd, arr), (Strand.Rc, rc_arr)):
                 for offset, length, is_first, is_last in chunk_spans(n):
                     if strand is Strand.Fwd:
-                        cover.append((offset, len(rows_meta)))
+                        cover.append((offset, S + len(rows_meta)))
                     long_content.append(text[offset : offset + length])
                     lo = 0 if is_first else self.halo + 1
                     hi = length if is_last else L - 1 - PADDING
@@ -521,11 +532,10 @@ class JaxDemuxEngine:
 
         plan.rows_meta = rows_meta
         plan.simple_reads = simple_reads
-        plan.fwd_simple_row = fwd_simple_row
         plan.fwd_cover = fwd_cover
         plan.long_content = long_content
-        plan.R_host = len(rows_meta)
-        plan.S = len(simple_reads)
+        plan.R_host = S + len(rows_meta)
+        plan.S = S
         return plan
 
     def _materialize(
@@ -582,7 +592,7 @@ class JaxDemuxEngine:
 
         # Long-read chunk rows [S, R_host): few per batch, loop is fine.
         for mi in range(S, plan.R_host):
-            rowm = plan.rows_meta[mi]
+            rowm = plan.rows_meta[mi - S]
             ridx = rowm.read_idx
             cover = plan.fwd_cover[ridx]
             meta[mi] = (
