@@ -237,6 +237,36 @@ def test_kit_streaming_matches_staged(tmp_path):
 
 
 @pytest.mark.slow
+def test_kit_streaming_matches_staged_jax_mesh(tmp_path):
+    """Streaming kit runner on the jax backend: the engine auto-shards
+    over the conftest's 8-device CPU mesh, and the fused runner's files
+    must still match the staged runner byte for byte."""
+    sim_dir = tmp_path / "sim"
+    create_testdata(
+        6, str(sim_dir), barcodes=default_barcodes(4), rc_frac=0.0, seed=7,
+        groups=("GroupII",),
+    )
+    blobs = {}
+    for mode, stream in (("staged", False), ("streamed", True)):
+        out_dir = tmp_path / mode
+        demux_using_kit(
+            [str(sim_dir / "GroupII.fastq")],
+            KitRunConfig(
+                kit_name="SQK-RBK110-96",
+                output_folder=str(out_dir),
+                backend="jax",
+                batch_size=6,
+                stream=stream,
+            ),
+        )
+        blobs[mode] = {
+            f: (out_dir / f).read_bytes() for f in sorted(os.listdir(out_dir))
+        }
+    assert blobs["staged"] == blobs["streamed"]
+    assert any(n.endswith(".trimmed.fastq") for n in blobs["staged"])
+
+
+@pytest.mark.slow
 def test_kit_streaming_matches_staged_gzip(tmp_path):
     """Gzip trim outputs stay byte-identical across the two runners."""
     import gzip as _gzip
