@@ -125,7 +125,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-stream",
         action="store_true",
         help="Run the four stages as separate file passes instead of the "
-        "fused one-pass pipeline (outputs are byte-identical either way)",
+        "fused one-pass pipeline. Outputs are byte-identical unless the "
+        "input reuses a read id non-adjacently (see docs/SEMANTICS.md); "
+        "--verbose implies this mode (per-stage log files).",
     )
     _add_backend_args(p)
 

@@ -95,6 +95,17 @@ def colorize_pattern(pattern: str, force: bool = False) -> str:
     return pattern
 
 
+def print_pattern_summary(pattern_count: Counter, top_n: int = 10) -> None:
+    """Console top-N rendering shared by ``inspect`` and the fused kit
+    runner (reference `src/inspect/inspect.rs:133-208`)."""
+    print(f"Found {len(pattern_count)} unique patterns")
+    ranked = sorted(pattern_count.items(), key=lambda kv: -kv[1])
+    for i, (pattern, count) in enumerate(ranked[:top_n]):
+        print(f"\tPattern {i + 1}: {count} occurrences")
+        print(f"\t\t{colorize_pattern(pattern)}")
+    print(f"Showed {min(top_n, len(ranked))} / {len(ranked)} patterns")
+
+
 def inspect(
     annotated_file: str,
     top_n: int = 10,
@@ -113,10 +124,5 @@ def inspect(
         if out_fh is not None:
             out_fh.close()
 
-    print(f"Found {len(pattern_count)} unique patterns")
-    ranked = sorted(pattern_count.items(), key=lambda kv: -kv[1])
-    for i, (pattern, count) in enumerate(ranked[:top_n]):
-        print(f"\tPattern {i + 1}: {count} occurrences")
-        print(f"\t\t{colorize_pattern(pattern)}")
-    print(f"Showed {min(top_n, len(ranked))} / {len(ranked)} patterns")
+    print_pattern_summary(pattern_count, top_n)
     return pattern_count

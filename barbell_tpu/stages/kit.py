@@ -55,11 +55,6 @@ def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
     for tmpl in kit_info.templates:
         print(f"Barcodes: {tmpl.barcodes.from_label} - {tmpl.barcodes.to_label}")
 
-    if config.stream and not config.verbose:
-        _demux_using_kit_streaming(fastq_files, config, kit_info)
-        return
-
-    print("\nAnnotating reads...")
     annotate_config = AnnotateConfig(
         max_flank_errors=config.max_flank_errors,
         alpha=config.alpha,
@@ -71,6 +66,12 @@ def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
         backend=config.backend,
         batch_size=config.batch_size,
     )
+
+    if config.stream and not config.verbose:
+        _demux_using_kit_streaming(fastq_files, config, kit_info, annotate_config)
+        return
+
+    print("\nAnnotating reads...")
     annotation_tsv = os.path.join(out, "annotation.tsv")
     annotate_with_kit(fastq_files, annotation_tsv, config.kit_name, annotate_config)
 
@@ -121,7 +122,10 @@ def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
 
 
 def _demux_using_kit_streaming(
-    fastq_files: Sequence[str], config: KitRunConfig, kit_info
+    fastq_files: Sequence[str],
+    config: KitRunConfig,
+    kit_info,
+    annotate_config: AnnotateConfig,
 ) -> None:
     """Fused one-pass kit pipeline.
 
@@ -138,11 +142,16 @@ def _demux_using_kit_streaming(
     pattern_per_read.tsv, filtered.tsv, and per-label FASTQs
     (enforced by tests/test_stages.py).
 
-    Reads with the same id are merged per *consecutive* run, matching
-    the staged filter/inspect grouping (`read_annotation_groups`); a
-    duplicate read id recurring non-adjacently is the one (degenerate,
-    malformed-input) case where trim output can differ from the staged
-    path's whole-file HashMap lookup.
+    Grouping: a "run" merges annotation rows of same-id reads delimited
+    only by a DIFFERENT-id read that itself has rows — exactly the
+    consecutive-read_id row grouping the staged inspect/filter see in
+    annotation.tsv (zero-match reads contribute no rows there, so they
+    never split a staged group and must not split a run).  inspect and
+    filter outputs are therefore byte-identical for every input.  Trim
+    hands a record the live run's annotations iff its id matches; the
+    staged trim instead keys a whole-file map, so trim output can
+    differ only for (malformed) inputs whose read ids recur outside
+    their own run — see docs/SEMANTICS.md deviations.
     """
     from collections import Counter, deque
 
@@ -153,23 +162,11 @@ def _demux_using_kit_streaming(
     from ..utils.fastx_native import iter_fastq_batches_auto
     from ..utils.progress import TRIM_METRICS, ProgressTracker
     from .annotate import _apply_flank_threshold, _make_engine
-    from .inspect import colorize_pattern, get_group_structure
+    from .inspect import get_group_structure, print_pattern_summary
     from .filter import check_filter_pass
     from .trim import _ThreadedWriterPool, _WriterPool, process_read_and_anno
 
     out = config.output_folder
-    annotate_config = AnnotateConfig(
-        max_flank_errors=config.max_flank_errors,
-        alpha=config.alpha,
-        n_threads=config.threads,
-        verbose=config.verbose,
-        min_score=config.min_score,
-        min_score_diff=config.min_score_diff,
-        use_extended=config.use_extended,
-        backend=config.backend,
-        batch_size=config.batch_size,
-    )
-
     groups = BarcodeGroup.from_kit(config.kit_name, config.use_extended)
     for i, group in enumerate(groups):
         print(f"{group.barcode_type.as_str()}: {i}")
@@ -221,11 +218,18 @@ def _demux_using_kit_streaming(
     else:
         writers = _WriterPool(out, config.gzip)
 
-    # One consecutive-same-id run in flight: rows are the run's merged
-    # annotation rows (pre-cut until flushed), recs its FASTQ records.
+    # One run in flight: rows are the run's merged annotation rows
+    # (pre-cut until flushed), recs its FASTQ records (including
+    # same-id records that contributed no rows — the staged trim's id
+    # map hands those the run's annotations too).
     pend_id: Optional[str] = None
     pend_rows: list = []
     pend_recs: list = []
+    # A run's records stay buffered until the run closes; bound the
+    # buffer so a (malformed) file of millions of same-id records
+    # cannot exhaust memory — the forced flush only affects grouping
+    # for inputs already outside the parity contract.
+    _RUN_CAP = 100_000
 
     def flush_run() -> None:
         if pend_id is None or not pend_rows:
@@ -259,11 +263,26 @@ def _demux_using_kit_streaming(
             anno_writer.write_rows([m for ms in per_read for m in ms])
             for rid, desc, seq, qual, matches in zip(ids, descs, seqs, quals, per_read):
                 progress.inc(TOTAL)
-                if rid != pend_id:
+                if matches:
+                    if rid != pend_id:
+                        flush_run()
+                        pend_id, pend_rows, pend_recs = rid, [], []
+                    pend_rows.extend(matches)
+                    pend_recs.append((desc, seq, qual))
+                elif rid == pend_id:
+                    # row-less record of the live run's id: trimmed with
+                    # the run's annotations (the staged trim map does)
+                    pend_recs.append((desc, seq, qual))
+                # else: zero-match read — it has no annotation rows, so
+                # it neither splits the run (it is invisible to the
+                # staged inspect/filter grouping) nor gets trimmed
+                if len(pend_recs) >= _RUN_CAP:
+                    progress.print_error(
+                        f"warning: read id {pend_id!r} repeats over "
+                        f"{_RUN_CAP} consecutive records; flushing early"
+                    )
                     flush_run()
-                    pend_id, pend_rows, pend_recs = rid, [], []
-                pend_rows.extend(matches)
-                pend_recs.append((desc, seq, qual))
+                    pend_id, pend_rows, pend_recs = None, [], []
             progress.refresh()
         flush_run()
         anno_writer.finish()
@@ -276,12 +295,8 @@ def _demux_using_kit_streaming(
             failed_fh.close()
     progress.finish("reads")
 
-    print(f"\nFound {len(pattern_count)} unique patterns")
-    ranked = sorted(pattern_count.items(), key=lambda kv: -kv[1])
-    for i, (pattern, count) in enumerate(ranked[:10]):
-        print(f"\tPattern {i + 1}: {count} occurrences")
-        print(f"\t\t{colorize_pattern(pattern)}")
-    print(f"Showed {min(10, len(ranked))} / {len(ranked)} patterns")
+    print()
+    print_pattern_summary(pattern_count, top_n=10)
     anno_path = os.path.join(out, "annotation.tsv")
     print(
         f"Want to see more patterns? Run: `barbell-tpu inspect -i {anno_path} -n 100`"

@@ -134,12 +134,16 @@ def run_kit_pipeline_bench():
                 fh.write(f"@{rid}\n{s}\n+\n{'I' * len(s)}\n")
         truth = {r[0]: r[2] for r in reads}
         out = os.path.join(d, "out")
+        # BENCH_KIT_STREAM=0 measures the staged four-pass runner (what
+        # BENCH_extra_r02.json recorded before the fused runner became
+        # the default) — keep runner shape out of cross-round deltas.
+        stream = os.environ.get("BENCH_KIT_STREAM", "1") != "0"
         t0 = time.perf_counter()
         demux_using_kit(
             [fq],
             KitRunConfig(
                 kit_name="SQK-NBD114-96", output_folder=out, maximize=True,
-                batch_size=BATCH,
+                batch_size=BATCH, stream=stream,
             ),
         )
         dt = time.perf_counter() - t0
@@ -168,6 +172,7 @@ def run_kit_pipeline_bench():
                     "metric": "nbd114_96_maximize_kit_pipeline_reads_per_sec",
                     "value": round(len(reads) / dt, 1),
                     "unit": "reads/s",
+                    "runner": "streamed" if stream else "staged",
                     "assigned_frac": round(n_assigned / len(reads), 4),
                     "accuracy_of_assigned": round(
                         n_correct / max(1, n_assigned), 4

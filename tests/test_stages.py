@@ -204,6 +204,15 @@ def test_kit_streaming_matches_staged(tmp_path):
         rec = "@dup_read\n" + "\n".join(lines[1:4]) + "\n"
         out.write(rec)
         out.write(rec)
+        # same-id reads separated by a ZERO-MATCH read still form ONE
+        # staged group (the junk read adds no annotation rows, so the
+        # rows stay adjacent in annotation.tsv) — the streamed runner
+        # must not let the row-less read split the run
+        rec2 = "@dup2\n" + "\n".join(lines[1:4]) + "\n"
+        junk = "@junk_read\n" + "T" * 400 + "\n+\n" + "I" * 400 + "\n"
+        out.write(rec2)
+        out.write(junk)
+        out.write(rec2)
 
     outputs = {}
     for mode, stream in (("staged", False), ("streamed", True)):
