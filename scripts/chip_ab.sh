@@ -46,5 +46,8 @@ run default_rbk  1800 bench.py BENCH_CONFIG=rbk114_96
 run nbd          1800 bench.py BENCH_CONFIG=nbd114_96
 run extended     2400 bench.py BENCH_CONFIG=rbk114_96_extended
 run kit_pipeline 2400 bench.py BENCH_CONFIG=kit_nbd_maximize
+# staged four-pass runner for comparison with the fused default (both
+# pay their own cold start; compare with that in mind)
+run kit_staged   2400 bench.py BENCH_CONFIG=kit_nbd_maximize BENCH_KIT_STREAM=0
 
 log "session complete"
