@@ -307,6 +307,99 @@ def test_kit_streaming_matches_staged_gzip(tmp_path):
     assert blobs["staged"]
 
 
+@pytest.mark.slow
+def test_kit_streaming_fuzz_matches_staged(tmp_path):
+    """Randomized streamed-vs-staged identity: shuffled construct /
+    zero-match / duplicate-id reads over multi-file inputs.  The
+    inspect/filter files must match on EVERY input; trimmed FASTQs must
+    match whenever ids recur only within their own run (adjacent here)."""
+    import random
+
+    from barbell_tpu.sim.simulate import mutate_sequence, rapid_adapter
+
+    bars = default_barcodes(8)
+    rng = random.Random(99)
+
+    def construct(label_idx, body_len):
+        body = bytes(rng.choice(b"ACGT") for _ in range(body_len))
+        read = rapid_adapter(bars[label_idx][1]) + body
+        return mutate_sequence(rng, read, 0, 3)
+
+    for trial in range(3):
+        # record GROUPS (duplicate pairs stay together — splitting a
+        # pair across files would make the ids non-adjacent in the read
+        # stream, the documented staged/streamed trim divergence)
+        rec_groups = []
+        for i in range(14):
+            kind = rng.random()
+            rid = f"t{trial}_r{i}"
+            if kind < 0.55:
+                rec_groups.append([(rid, construct(rng.randrange(8), 300))])
+            elif kind < 0.8:
+                rec_groups.append(
+                    [(rid, bytes(rng.choice(b"ACGT") for _ in range(400)))]
+                )
+            else:  # adjacent duplicate pair, construct + zero-match mix
+                rec_groups.append([
+                    (rid, construct(rng.randrange(8), 250)),
+                    (rid, bytes(rng.choice(b"ACGT") for _ in range(200))),
+                ])
+        files = []
+        for fi in range(2):
+            p = tmp_path / f"in_{trial}_{fi}.fastq"
+            with open(p, "w") as fh:
+                for grp in rec_groups[fi::2]:
+                    for rid, seq in grp:
+                        s = seq.decode()
+                        fh.write(f"@{rid} d{fi}\n{s}\n+\n{'I' * len(s)}\n")
+            files.append(str(p))
+
+        blobs = {}
+        for mode, stream in (("staged", False), ("streamed", True)):
+            out_dir = tmp_path / f"{mode}_{trial}"
+            demux_using_kit(
+                files,
+                KitRunConfig(
+                    kit_name="SQK-RBK110-96",
+                    output_folder=str(out_dir),
+                    backend="oracle",
+                    batch_size=5,
+                    maximize=True,
+                    stream=stream,
+                ),
+            )
+            blobs[mode] = {
+                f: (out_dir / f).read_bytes()
+                for f in sorted(os.listdir(out_dir))
+            }
+        assert blobs["staged"].keys() == blobs["streamed"].keys(), trial
+        for name, blob in blobs["staged"].items():
+            assert blobs["streamed"][name] == blob, (trial, name)
+
+
+def test_kit_streaming_empty_input(tmp_path):
+    """Zero-read input: both runners produce the same (empty) files."""
+    empty = tmp_path / "empty.fastq"
+    empty.write_text("")
+    blobs = {}
+    for mode, stream in (("staged", False), ("streamed", True)):
+        out_dir = tmp_path / mode
+        demux_using_kit(
+            [str(empty)],
+            KitRunConfig(
+                kit_name="SQK-RBK110-96",
+                output_folder=str(out_dir),
+                backend="oracle",
+                stream=stream,
+            ),
+        )
+        blobs[mode] = {
+            f: (out_dir / f).read_bytes() for f in sorted(os.listdir(out_dir))
+        }
+    assert blobs["staged"] == blobs["streamed"]
+    assert blobs["streamed"]["annotation.tsv"] == b""
+
+
 def test_inspect_colorize_pattern():
     from barbell_tpu.stages.inspect import colorize_pattern
 
