@@ -234,6 +234,15 @@ class JaxDemuxEngine:
         self.alpha_scaled = oracle.scale_alpha(alpha)
         self.min_score = float(min_score)
         self.min_score_diff = float(min_score_diff)
+        if max_row_len < 4:
+            raise ValueError(f"max_row_len must be >= 4, got {max_row_len}")
+        if max_row_len % 4:
+            # packers allocate L//2 (nibble) / L//4 (2-bit) bytes — a
+            # non-multiple-of-4 row width would silently truncate the
+            # last bases of max-width reads
+            raise ValueError(
+                f"max_row_len must be a multiple of 4, got {max_row_len}"
+            )
         self.max_row_len = max_row_len
         self.K = max_hits_per_row
         self.plans = [_GroupPlan(g) for g in self.groups]
@@ -432,8 +441,13 @@ class JaxDemuxEngine:
                 pending.append((gplan, out_dev))
 
         for gplan, out_dev in pending:
-            with _phase("demux_call.fetch"):
-                out_np = np.asarray(out_dev)
+            if isinstance(out_dev, np.ndarray):
+                # fused path fetched everything in one transfer above;
+                # keep the BARBELL_TIMING fetch phase free of no-ops
+                out_np = out_dev
+            else:
+                with _phase("demux_call.fetch"):
+                    out_np = np.asarray(out_dev)
             cap = H_cap
             wcols, wbits = self._rec_wire(gplan, L, R_total_pad)
             rec = self._unpack_rec(out_np, cap, wcols, wbits)
@@ -930,8 +944,13 @@ class JaxDemuxEngine:
                 return packed2, np.zeros(R_host_pad, dtype=np.int32), exc, 1
         if lib is not None and not force_nibble and mode_override != "0":
             nb = np.zeros(R_host_pad, dtype=np.int64)
-            for i, r in enumerate(simple_reads):
-                nb[i] = (len(seq_bytes[r]) + 3) // 4
+            blob = offs = ls = None
+            if S:
+                # hoisted: also feeds the byte counts below, vectorized
+                # (a per-simple-read Python loop here is ~1-2ms of GIL
+                # time per batch on the hot path)
+                blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
+                nb[:S] = (ls.astype(np.int64) + 3) // 4
             for i, content in enumerate(long_content):
                 nb[S + i] = (len(content) + 3) // 4
             # 128-byte-aligned row starts (~+11% wire) let the device
@@ -953,7 +972,6 @@ class JaxDemuxEngine:
             total_exc = 0
             ok = True
             if S:
-                blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
                 total_exc = lib.bbio_encode_pack2_cat(
                     blob,
                     offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),

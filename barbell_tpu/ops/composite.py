@@ -579,10 +579,13 @@ def demux_call(
     # sentinels on both kernel paths: any valid key reaching the
     # sentinel would silently drop hits.  Static shapes make this
     # checkable at trace time (the engine also pre-shrinks row width).
-    assert k_units * UNIT * L_key + L < 2**30, (
-        f"valley keys overflow the 2**30 sentinel: k_units={k_units}, "
-        f"L={L}; shrink the row width"
-    )
+    if k_units * UNIT * L_key + L >= 2**30:
+        # a plain assert vanishes under python -O and the overflow
+        # silently drops valid hits — always raise
+        raise ValueError(
+            f"valley keys overflow the 2**30 sentinel: k_units={k_units}, "
+            f"L={L}; shrink the row width"
+        )
 
     tsc = meta[:, M_TSC]
     tec = meta[:, M_TEC]
