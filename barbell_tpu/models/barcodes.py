@@ -61,6 +61,8 @@ class BarcodeGroup:
         query_labels: Sequence[str],
         barcode_type: BarcodeType,
     ) -> "BarcodeGroup":
+        if not query_seqs:
+            raise ValueError("No query sequences provided (empty input?)")
         if len(query_seqs) == 1:
             raise ValueError(
                 "Groups need at least two queries; add a second query with the "
@@ -84,9 +86,12 @@ class BarcodeGroup:
         if prefix_len == 0 and suffix_len == 0:
             raise ValueError("No shared prefix or suffix found; cannot anchor the search")
         if prefix_len == 0 or suffix_len == 0:
+            # stderr, like from_kit's notice — stdout stays clean for
+            # bench/pipe consumers (one-JSON-line contract)
             print(
                 "Your input only has a flank on one side; that works but both "
-                "a left and right flank anchor barcodes better"
+                "a left and right flank anchor barcodes better",
+                file=sys.stderr,
             )
 
         flank = prefix + b"N" * mask_size + suffix

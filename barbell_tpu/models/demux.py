@@ -54,6 +54,11 @@ class Demuxer:
         min_score_diff: float = 0.1,
     ):
         self.alpha = float(alpha)
+        if not 0.0 <= self.alpha <= 1.0:
+            # overhang bases costing more than a unit edit (alpha > 1)
+            # break the device kernels' boundary-window assumption; the
+            # reference's sassy overhang model is fractional too
+            raise ValueError(f"alpha must be in [0, 1], got {self.alpha}")
         self.verbose = verbose
         self.min_score = float(min_score)
         self.min_score_diff = float(min_score_diff)

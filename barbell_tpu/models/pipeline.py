@@ -231,6 +231,11 @@ class JaxDemuxEngine:
         self._jnp = jax.numpy
         self.groups = list(groups)
         self.alpha = float(alpha)
+        if not 0.0 <= self.alpha <= 1.0:
+            # the jnp flank scan can route left-overhang through
+            # zero-mask padding at UNIT cost, undercutting the oracle
+            # whenever alpha > 1 — reject instead of silently diverging
+            raise ValueError(f"alpha must be in [0, 1], got {self.alpha}")
         self.alpha_scaled = oracle.scale_alpha(alpha)
         self.min_score = float(min_score)
         self.min_score_diff = float(min_score_diff)

@@ -18,6 +18,11 @@ Emission: the kernel writes, for every text position j within the
 per-lane ``[emit_lo, emit_hi]`` range, the end cost (in edit units) if
 position j is a plateau-valley minimum with cost <= k, else 255.
 Position 0 is never emitted (requires k < m, true for all flanks).
+Valley status is only decided for j in [0, L-1]: a caller passing
+``emit_hi == L`` would silently lose a valley ending exactly at the
+last row column (every production caller clamps emit_hi <= L-1-PADDING
+/ tec-2 for alpha-boundary reasons, so this is unreachable today —
+but a new caller must respect the bound).
 
 Layout: text transposed to [L, R/128, 128]; grid (R/1024, L/CL) with
 the L dimension innermost so the per-lane state (Pv/Mv words, running
@@ -45,8 +50,6 @@ TILE = LANES * SUBLANES  # reads per grid row-block
 # powers of two (CL is clamped to L and must stay divisible by UNROLL).
 DEFAULT_CL = int(os.environ.get("BARBELL_MYERS_CL", "1024"))
 UNROLL = int(os.environ.get("BARBELL_MYERS_UNROLL", "16"))
-
-_BIGU = jnp.int32(1 << 20)
 
 
 def pattern_words(pattern_masks: np.ndarray):

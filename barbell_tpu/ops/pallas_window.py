@@ -439,7 +439,7 @@ def window_interval(patterns_h, windows, end_j, iv_a, iv_b,
     H0, m = patterns_h.shape
     _, W = windows.shape
     H, (patterns_h, windows) = _pad_lanes(H0, patterns_h, windows)
-    (_, (end_j,)) = (H, _pad_lanes(H0, end_j)[1])
+    _, (end_j,) = _pad_lanes(H0, end_j)
     pat_t = _to_lane_major(patterns_h, H)
     win_t = _to_lane_major(windows, H)
     z = jnp.zeros(H, jnp.int32)
