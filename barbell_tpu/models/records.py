@@ -246,6 +246,11 @@ class AnnotationWriter:
         self._wrote_header = False
 
     def write_rows(self, rows) -> None:
+        if not rows:
+            # keep zero-row outputs EMPTY (not header-only): the
+            # reference's csv::Writer emits the header with the first
+            # serialized row, and callers pass empty batches routinely
+            return
         if not self._wrote_header:
             self._fh.write(TSV_HEADER + "\n")
             self._wrote_header = True

@@ -22,6 +22,12 @@ _tried = False
 
 
 def _build() -> bool:
+    # Build to a private temp path and os.rename into place: concurrent
+    # processes (per-rank shards, parallel test workers) may race the
+    # build, and linking straight onto the live path could hand a torn
+    # .so to a concurrent CDLL (or SIGBUS a process that already
+    # mmapped the old inode — rename keeps the old inode alive).
+    tmp = f"{_SO}.build.{os.getpid()}"
     cmd = [
         "g++",
         "-O3",
@@ -32,14 +38,23 @@ def _build() -> bool:
         "-std=c++17",
         _SRC,
         "-o",
-        _SO,
+        tmp,
         "-lz",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
-        return res.returncode == 0 and os.path.exists(_SO)
+        if res.returncode != 0 or not os.path.exists(tmp):
+            return False
+        os.replace(tmp, _SO)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -52,7 +67,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        try:
+            stale = not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            )
+        except OSError:
+            stale = not os.path.exists(_SO)
+        if stale:
             if not _build():
                 return None
         try:

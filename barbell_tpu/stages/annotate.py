@@ -181,8 +181,14 @@ def annotate(
                         rows.extend(matches)
                 writer.write_rows(rows)
                 if sidecar is not None:
-                    for si, matches in zip(idxs, per_read):
-                        sidecar.write(f"{si}\t{len(matches)}\n")
+                    # one block write per batch (per-read writes are
+                    # GIL time on the pipelined host path)
+                    sidecar.write(
+                        "".join(
+                            f"{si}\t{len(m)}\n"
+                            for si, m in zip(idxs, per_read)
+                        )
+                    )
                 progress.add(0, len(read_ids))
                 progress.add(1, found)
                 progress.add(2, len(read_ids) - found)

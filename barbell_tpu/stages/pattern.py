@@ -220,8 +220,6 @@ def match_pattern(
     cut_positions: List[Tuple[int, Cut]] = []
 
     for idx, el in enumerate(pattern.elements):
-        if idx >= len(matches):
-            return False, []
         m = matches[idx]
         ok = (
             _check_type_and_label(m, el)

@@ -67,6 +67,17 @@ def test_writer_lazy_header():
     w.finish()
     assert buf.getvalue() == ""  # empty output stays empty
 
+    # empty batches must not trigger the header either: annotate calls
+    # write_rows once per batch even when no read in the batch matched,
+    # and a zero-match run must produce a 0-byte file (reference
+    # csv::Writer emits the header with the first ROW)
+    buf = io.StringIO()
+    w = AnnotationWriter(buf)
+    w.write_rows([])
+    w.write_rows([])
+    w.finish()
+    assert buf.getvalue() == ""
+
     buf = io.StringIO()
     w = AnnotationWriter(buf)
     w.write_rows([sample_match()])
