@@ -56,15 +56,6 @@ def shard_paths(paths: Sequence[str], rank: int, world: int) -> List[str]:
     return [p for i, p in enumerate(paths) if i % world == rank]
 
 
-def shard_record_range(
-    n_records_hint: Optional[int], rank: int, world: int
-) -> Tuple[int, int]:
-    """Record-stripe assignment when there are fewer files than hosts:
-    host r processes records with index % world == r (streaming filter).
-    Returns (rank, world) for the caller's modulo filter."""
-    return rank, world
-
-
 def shard_output_path(base: str, rank: int, world: int) -> str:
     if world <= 1:
         return base
@@ -92,9 +83,24 @@ def merge_annotation_shards(base: str, world: int, delete: bool = True) -> None:
     header = "\t".join(TSV_COLUMNS)
     shards = [shard_output_path(base, rank, world) for rank in range(world)]
     sidecars = [s + ".idx" for s in shards]
-    interleave = all(os.path.exists(s) for s in shards) and all(
-        os.path.exists(i) for i in sidecars
-    )
+    missing = [s for s in shards if not os.path.exists(s)]
+    if missing:
+        # A missing shard means a rank never finished — merging the
+        # survivors (and deleting them) would silently lose that rank's
+        # reads.  Fail loudly; re-run the missing rank first.
+        raise FileNotFoundError(
+            f"Cannot merge: shard output(s) missing: {missing} "
+            f"(world={world}; did every rank complete?)"
+        )
+    have_idx = [os.path.exists(i) for i in sidecars]
+    if any(have_idx) and not all(have_idx):
+        raise FileNotFoundError(
+            "Cannot merge: some shards have .idx sidecars and some do "
+            "not — a sharded annotate run writes one per rank, so a "
+            "missing sidecar means an incomplete rank: "
+            f"{[i for i, ok in zip(sidecars, have_idx) if not ok]}"
+        )
+    interleave = all(have_idx)
 
     with open(base, "w") as out:
         if interleave:
@@ -126,7 +132,16 @@ def merge_annotation_shards(base: str, world: int, delete: bool = True) -> None:
                                 if not wrote_header:
                                     out.write(header + "\n")
                                     wrote_header = True
-                                out.write(readers[rank].readline())
+                                row = readers[rank].readline()
+                                if not row:
+                                    # sidecar promises more rows than
+                                    # the shard holds = truncated shard
+                                    raise ValueError(
+                                        f"Shard {shards[rank]} is "
+                                        "truncated (fewer rows than its "
+                                        ".idx sidecar records)"
+                                    )
+                                out.write(row)
                     rank = (rank + 1) % world
             finally:
                 for fh in readers + idx_iters:
@@ -134,8 +149,6 @@ def merge_annotation_shards(base: str, world: int, delete: bool = True) -> None:
         else:
             wrote_header = False
             for shard in shards:
-                if not os.path.exists(shard):
-                    continue
                 with open(shard) as fh:
                     first = fh.readline()
                     if not first:

@@ -17,10 +17,7 @@ import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
-
 from ..kits.database import RBK4_FRONT, RBK4_REAR, lookup_barcode_seq
-from ..models.records import read_annotations
 from ..ops import oracle
 from ..ops.edit_model import get_edit_cut_off
 from ..utils import dna
@@ -76,17 +73,32 @@ def assignments_from_trimmed(out_dir: str) -> Dict[str, str]:
     return assigned
 
 
+def verify_context(kit: Optional[str] = None) -> List[Tuple]:
+    """[(flank_masks, flank_k)] per query group of ``kit`` (RBK4 rapid
+    flanks when no kit is given) for :func:`independent_check` — built
+    once per evaluation, not per read."""
+    if kit is None:
+        flank = (RBK4_FRONT + "N" * 24 + RBK4_REAR).encode()
+        k = get_edit_cut_off(len(RBK4_FRONT) + len(RBK4_REAR))
+        return [(dna.encode(flank), k)]
+    from ..models.barcodes import BarcodeGroup
+
+    ctx = []
+    for g in BarcodeGroup.from_kit(kit):
+        ctx.append((dna.encode(g.flank), get_edit_cut_off(g.get_effective_len())))
+    return ctx
+
+
 def independent_check(
-    seq: bytes, label: str, flank_k: Optional[int] = None
+    seq: bytes, label: str, ctx: Optional[List[Tuple]] = None
 ) -> bool:
     """Re-verify an assignment with a direct search, independent of the
-    pipeline: the rapid flank must hit (either strand) and the assigned
-    barcode must sit in the flank neighbourhood within its own edit
-    budget."""
-    flank = (RBK4_FRONT + "N" * 24 + RBK4_REAR).encode()
-    flank_masks = dna.encode(flank)
-    if flank_k is None:
-        flank_k = get_edit_cut_off(len(RBK4_FRONT) + len(RBK4_REAR))
+    pipeline: some query group's flank must hit (either strand) and the
+    assigned barcode must sit in the flank neighbourhood within its own
+    edit budget.  ``ctx`` carries the kit's flanks (``verify_context``);
+    default is the RBK4 rapid flank."""
+    if ctx is None:
+        ctx = verify_context(None)
     try:
         bar_seq = lookup_barcode_seq(label)
     except ValueError:
@@ -99,15 +111,16 @@ def independent_check(
 
     text = dna.encode(seq)
     for masks in (text, dna.reverse_complement_masks(text)):
-        flank_hits = oracle.search(flank_masks, masks, flank_k, alpha=0.4)
-        for fm in flank_hits:
-            lo = max(0, fm.text_start)
-            hi = min(len(masks), fm.text_end)
-            window = masks[lo:hi]
-            if len(window) == 0:
-                continue
-            if oracle.search(bar_masks, window, bar_k):
-                return True
+        for flank_masks, flank_k in ctx:
+            flank_hits = oracle.search(flank_masks, masks, flank_k, alpha=0.4)
+            for fm in flank_hits:
+                lo = max(0, fm.text_start)
+                hi = min(len(masks), fm.text_end)
+                window = masks[lo:hi]
+                if len(window) == 0:
+                    continue
+                if oracle.search(bar_masks, window, bar_k):
+                    return True
     return False
 
 
@@ -118,37 +131,46 @@ def evaluate_group(
     out_dir: str,
     verify: bool = False,
     verify_limit: int = 50,
+    kit: Optional[str] = None,
 ) -> GroupReport:
     truth = read_truth(truth_path)
     assigned = assignments_from_trimmed(out_dir)
     report = GroupReport(group=group)
 
+    # sequences are only needed for --verify re-searching; otherwise a
+    # set of ids suffices (don't hold the whole FASTQ in memory)
+    ids: set = set()
     seqs: Dict[str, bytes] = {}
     for header, seq, _q in iter_fastq([fastq_path]):
         rid = split_fastq_header(header)[0]
         report.total_reads += 1
-        seqs[rid] = seq
+        ids.add(rid)
+        if verify:
+            seqs[rid] = seq
 
     # Collapse multi-slice outputs (``_N`` read-id suffixes) onto their
     # base read: each input read counts at most once toward assigned /
-    # correct, first slice wins (deterministic: files and records are
-    # iterated in sorted order).
+    # correct, and the PRIMARY (unsuffixed) slice's label wins over any
+    # ``_N`` slice regardless of which label file sorts first.
     by_read: Dict[str, str] = {}
+    deferred: List[Tuple[str, int, str]] = []
     for rid, label in assigned.items():
-        if rid not in seqs:
+        if rid in ids:
+            by_read[rid] = label
+        else:
             base, _, tail = rid.rpartition("_")
-            if tail.isdigit() and base in seqs:
-                rid = base
-            else:
-                continue
-        by_read.setdefault(rid, label)
+            if tail.isdigit() and base in ids:
+                deferred.append((base, int(tail), label))
+    for base, _n, label in sorted(deferred, key=lambda t: (t[0], t[1])):
+        by_read.setdefault(base, label)
 
+    ctx = verify_context(kit) if verify else None
     for rid, label in by_read.items():
         report.assigned += 1
         if truth.get(rid) == label:
             report.correct += 1
         if verify and report.checked < verify_limit:
-            if independent_check(seqs[rid], label):
+            if independent_check(seqs[rid], label, ctx):
                 report.verified += 1
             report.checked += 1
     return report
@@ -210,6 +232,7 @@ def run_compare(
             os.path.join(sim_dir, f"{group}_truth.txt"),
             out,
             verify=verify,
+            kit=kit,
         )
         if time_runs:
             report.wall_s = wall

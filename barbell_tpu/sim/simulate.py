@@ -67,6 +67,9 @@ def mutate_sequence(
 def random_trim_side(
     rng: random.Random, seq: bytes, max_trim: int, allow_front: bool, allow_back: bool
 ) -> bytes:
+    # The trim coins are flipped INDEPENDENTLY of the allow flags —
+    # reference parity (`mutate.rs:42-51`): ~half of GroupIII reads end
+    # up untrimmed, by the reference's own design.
     s = bytearray(seq)
     trim_length = rng.randint(1, max_trim)
     trim_front = rng.random() < 0.5

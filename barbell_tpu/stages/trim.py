@@ -147,6 +147,10 @@ def process_read_and_anno(
     """Returns [(trimmed_seq, trimmed_qual, group_label, read_suffix)]."""
     results = []
     slices = preprocess_cuts(annotations, len(seq))
+    # slice_count enumerates ALL slices including skipped empty ones —
+    # reference parity (`trim.rs:265-268` enumerates before the
+    # start>=end continue), so a read whose FIRST slice is empty emits
+    # only `_N`-suffixed records, exactly like the reference.
     for slice_count, (start, end, slice_annos) in enumerate(slices):
         if start >= end:
             continue

@@ -10,7 +10,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
-from typing import Iterable, Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 
 def _open_maybe_gzip(path: str) -> io.BufferedReader:
@@ -61,7 +61,10 @@ def read_fasta(path: str) -> Iterator[Tuple[str, bytes]]:
             if line.startswith(b">"):
                 if name is not None:
                     yield name, b"".join(chunks)
-                name = line[1:].split(None, 1)[0].decode("ascii")
+                parts = line[1:].split(None, 1)
+                if not parts:
+                    raise ValueError(f"FASTA header with no name in {path}")
+                name = parts[0].decode("ascii")
                 chunks = []
             else:
                 chunks.append(line)

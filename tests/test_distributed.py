@@ -128,6 +128,40 @@ def test_cli_shard_flags(tmp_path):
     reads = {ln.split("\t", 1)[0] for ln in lines[1:]}
     assert len(reads) == 6
 
+def test_merge_missing_shard_raises(tmp_path):
+    """A missing shard means a rank never finished: merging (and
+    deleting) the survivors would silently lose reads — fail loudly."""
+    import pytest
+
+    base = str(tmp_path / "anno.tsv")
+    shard0 = shard_output_path(base, 0, 2)
+    open(shard0, "w").close()
+    with open(shard0 + ".idx", "w") as fh:
+        fh.write("0\t0\n")
+    with pytest.raises(FileNotFoundError, match="missing"):
+        merge_annotation_shards(base, 2)
+    assert os.path.exists(shard0)  # survivors untouched
+
+
+def test_merge_truncated_shard_raises(tmp_path):
+    """A shard whose .idx promises more rows than the TSV holds is a
+    truncated write — raise instead of silently dropping rows."""
+    import pytest
+
+    from barbell_tpu.models.records import TSV_COLUMNS
+
+    base = str(tmp_path / "anno.tsv")
+    header = "\t".join(TSV_COLUMNS)
+    for rank in range(2):
+        shard = shard_output_path(base, rank, 2)
+        with open(shard, "w") as fh:
+            fh.write(header + "\n")  # header but NO rows
+        with open(shard + ".idx", "w") as fh:
+            fh.write(f"{rank}\t1\n")  # claims one row
+    with pytest.raises(ValueError, match="truncated"):
+        merge_annotation_shards(base, 2)
+
+
 def test_merge_all_empty_shards_stays_empty(tmp_path):
     """A zero-row single-host annotate writes a 0-byte file (lazy
     header); the sidecar merge of all-empty shards must match byte-for-byte."""

@@ -400,6 +400,24 @@ def test_kit_streaming_empty_input(tmp_path):
     assert blobs["streamed"]["annotation.tsv"] == b""
 
 
+def test_independent_check_kit_aware():
+    """compare --verify must search with the kit under test's flanks:
+    an NBD assignment verifies with the NBD context and would falsely
+    fail with the default rapid-kit flanks."""
+    import random
+
+    from barbell_tpu.kits.database import expand_template, get_kit_info
+    from barbell_tpu.sim.compare import independent_check, verify_context
+
+    labels, seqs = expand_template(get_kit_info("SQK-NBD114-96").templates[0])
+    rng = random.Random(0)
+    body = "".join(rng.choice("ACGT") for _ in range(300))
+    read = (seqs[4] + body).encode()
+
+    assert independent_check(read, labels[4], verify_context("SQK-NBD114-96"))
+    assert not independent_check(read, labels[4], None)  # rapid flanks
+
+
 def test_inspect_colorize_pattern():
     from barbell_tpu.stages.inspect import colorize_pattern
 
