@@ -145,10 +145,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     # -------------------------------------------------------------- compare
     p = sub.add_parser(
-        "compare", help="Run the kit pipeline over simulated groups and score it"
+        "compare",
+        help="Run the kit pipeline over simulated groups and score it, or "
+        "score another tool's demux output (--import-tool)",
     )
-    p.add_argument("--sim-dir", required=True)
-    p.add_argument("-o", "--output", required=True, help="Working directory")
+    p.add_argument("--sim-dir", help="Simulated data directory (pipeline mode)")
+    p.add_argument("-o", "--output", help="Working directory (pipeline mode)")
     p.add_argument("-k", "--kit", default="SQK-RBK110-96")
     p.add_argument("--maximize", action="store_true")
     p.add_argument("--verify", action="store_true",
@@ -156,6 +158,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--time", action="store_true", dest="time_runs",
                    help="Report per-group wall clock and reads/s")
     p.add_argument("--backend", choices=["auto", "jax", "oracle"], default="auto")
+    # Import mode: normalize + score an external tool's existing output
+    # (the importer half of the reference comparison harness).
+    from .sim.ingest import IMPORT_TOOLS
+
+    p.add_argument("--import-tool", choices=list(IMPORT_TOOLS),
+                   help="Score another tool's output instead of running "
+                   "the pipeline")
+    p.add_argument("--import-path",
+                   help="The tool's output folder (dorado/barbell), "
+                   "classified_reads.fastq (flexiplex), or a "
+                   "read_id<TAB>label table (tsv)")
+    p.add_argument("--truth", help="Ground-truth read_id<TAB>label TSV")
+    p.add_argument("--reads", help="Original input FASTQ (read universe; "
+                   "needed for --verify and construct re-counts)")
+    p.add_argument("--bar-file",
+                   help="flexiplex: seq<TAB>label barcode map file")
+    p.add_argument("--normalized-out",
+                   help="Write the normalized read_id/barcode/len/"
+                   "n_flank_matches table here")
+    p.add_argument("--trimmed-out",
+                   help="Write the normalized trimmed FASTA here")
 
     return parser
 
@@ -295,18 +318,41 @@ def _dispatch(args) -> int:
         print(f"Simulated data written to {args.output}")
 
     elif args.command == "compare":
-        from .sim.compare import print_reports, run_compare
+        from .sim.compare import print_reports, run_compare, run_import_compare
 
-        reports = run_compare(
-            args.sim_dir,
-            args.output,
-            kit=args.kit,
-            maximize=args.maximize,
-            backend=args.backend,
-            verify=args.verify,
-            time_runs=args.time_runs,
-        )
-        print_reports(reports)
+        if args.import_tool:
+            if not args.import_path or not args.truth:
+                raise ValueError(
+                    "--import-tool needs --import-path and --truth"
+                )
+            report = run_import_compare(
+                args.import_tool,
+                args.import_path,
+                args.truth,
+                reads_path=args.reads,
+                bar_file=args.bar_file,
+                normalized_out=args.normalized_out,
+                trimmed_out=args.trimmed_out,
+                verify=args.verify,
+                kit=args.kit if args.verify else None,
+            )
+            print_reports([report])
+        else:
+            if not args.sim_dir or not args.output:
+                raise ValueError(
+                    "compare needs --sim-dir and -o/--output (or "
+                    "--import-tool to score an external tool's output)"
+                )
+            reports = run_compare(
+                args.sim_dir,
+                args.output,
+                kit=args.kit,
+                maximize=args.maximize,
+                backend=args.backend,
+                verify=args.verify,
+                time_runs=args.time_runs,
+            )
+            print_reports(reports)
 
     return 0
 

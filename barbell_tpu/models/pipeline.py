@@ -41,10 +41,11 @@ from ..ops import oracle
 from ..ops.pallas_myers import pattern_words
 from ..ops.lodhi import perfect_score
 from ..utils import dna
+from . import hittable
 from .barcodes import BarcodeGroup
-from .collapse import collapse_overlapping_matches
 from .demux import BARCODE_K_FRAC, COLLAPSE_OVERLAP, Demuxer
-from .records import BarbellMatch, Strand, rel_dist_to_end
+from .hittable import HitTable
+from .records import BarbellMatch, Strand
 
 MAX_ROW_LEN = 8192  # chunk width for long reads
 MAX_HITS_PER_ROW = 16  # K for valley compaction
@@ -93,22 +94,25 @@ def timing_report() -> str:
     return "\n".join(lines)
 
 
-def engine_map_batches(engine, batches, depth: int = 4):
-    """Run ``engine.demux_batch`` over an iterator of (ids, seqs) batches
+def engine_map_batches(engine, batches, depth: int = 4, method: str = "demux_batch"):
+    """Run ``engine.<method>`` over an iterator of (ids, seqs) batches
     with ``depth`` batches in flight on a worker thread.
 
     Device fetches release the GIL, so one batch's device round trips
     overlap another batch's host work (and each other, with two
     workers) — a simple software pipeline that hides most device
-    latency.  Yields (ids, seqs, per_read_matches) in order.
+    latency.  Yields (ids, seqs, result) in order; ``method`` is
+    ``demux_batch`` (per-read BarbellMatch lists) or
+    ``demux_batch_table`` (columnar HitTable, the annotate hot path).
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    fn = getattr(engine, method)
     with ThreadPoolExecutor(max_workers=depth) as pool:
         inflight = deque()
         for ids, seqs in batches:
-            inflight.append((ids, seqs, pool.submit(engine.demux_batch, ids, seqs)))
+            inflight.append((ids, seqs, pool.submit(fn, ids, seqs)))
             while len(inflight) > depth:
                 bids, bseqs, fut = inflight.popleft()
                 yield bids, bseqs, fut.result()
@@ -200,6 +204,16 @@ class _GroupPlan:
         self.patterns_all = np.concatenate(
             [self.patterns[Strand.Fwd], self.patterns[Strand.Rc]], axis=0
         )
+        # hit-table constants (vectorized assembly)
+        self.bar_mtype_codes = np.array(
+            [hittable.MTYPE_CODE[b.match_type] for b in group.barcodes],
+            dtype=np.int64,
+        )
+        self.flank_code = hittable.MTYPE_CODE[
+            group.barcodes[0].match_type.as_flank()
+        ]
+        self.flank_cost_len = len(group.barcodes[0].seq)
+        self.label_base = 0  # set by the engine (global label vocabulary)
         # Device-resident copies (set by the engine: one upload at init
         # instead of a re-transfer on every batch).
         self.flank_dev = None
@@ -261,6 +275,16 @@ class JaxDemuxEngine:
             p.patterns_all_dev = jax.numpy.asarray(p.patterns_all)
         self.halo = max(p.span for p in self.plans) + PADDING + 2
         self._fallback: Optional[Demuxer] = None
+
+        # Global label vocabulary for hit tables: every group's barcode
+        # labels in plan order, then the shared "flank" sentinel.
+        self.labels: List[str] = []
+        for p in self.plans:
+            p.label_base = len(self.labels)
+            self.labels.extend(b.label for b in p.group.barcodes)
+        self.flank_label = len(self.labels)
+        self.labels.append("flank")
+        self._label_index = {lab: i for i, lab in enumerate(self.labels)}
 
         # Multi-chip: a 1-D reads mesh over all local devices.  Each
         # batch's reads partition into per-device row blocks (whole
@@ -340,6 +364,15 @@ class JaxDemuxEngine:
     def demux_batch(
         self, read_ids: List[str], seqs: List[bytes]
     ) -> List[List[BarbellMatch]]:
+        """Per-read ``BarbellMatch`` lists (the object API); identical
+        rows to the scalar engine, enforced by tests."""
+        return hittable.table_to_matches(self.demux_batch_table(read_ids, seqs))
+
+    def demux_batch_table(
+        self, read_ids: List[str], seqs: List[bytes]
+    ) -> HitTable:
+        """One batch's annotation rows as a columnar :class:`HitTable`
+        — the annotate hot path (no per-hit Python objects)."""
         jnp = self._jnp
         B = len(seqs)
         # bytes input (the native reader's output) is already the wire
@@ -351,12 +384,9 @@ class JaxDemuxEngine:
         ]
         lens = np.array([len(s) for s in seq_bytes], dtype=np.int64)
         if B == 0 or lens.max(initial=0) == 0:
-            return [[] for _ in seqs]
+            return hittable.empty_table(read_ids, lens, self.labels)
 
-        L = int(min(self.max_row_len, max(int(lens.max()), self.halo + 2)))
-        L = min(_pow2_at_least(L, lo=256), self.max_row_len)
-        if L <= self.halo + PADDING + 2:
-            L = min(_pow2_at_least(self.halo + PADDING + 3, lo=256), self.max_row_len)
+        L = self._choose_L(lens)
         step = L - PADDING - self.halo
         assert step > 0
 
@@ -377,10 +407,12 @@ class JaxDemuxEngine:
         # exceed it at large BATCH).
         if R_total_pad * L >= 2**31:
             if B == 1:
-                return [self._scalar_fallback().demux(read_ids[0], seqs[0])]
+                return self._table_from_fallback(read_ids, seqs, lens)
             half = B // 2
-            return self.demux_batch(read_ids[:half], seqs[:half]) + \
-                self.demux_batch(read_ids[half:], seqs[half:])
+            return self._concat_tables(
+                self.demux_batch_table(read_ids[:half], seqs[:half]),
+                self.demux_batch_table(read_ids[half:], seqs[half:]),
+            )
 
         (host_packed, row_start, exc, pack_mode, simple_idx, meta,
          row_read) = self._materialize(
@@ -414,7 +446,7 @@ class JaxDemuxEngine:
                     jnp.asarray(row_start),
                 )
 
-        results: List[List[BarbellMatch]] = [[] for _ in seqs]
+        packets: List[tuple] = []  # (_GroupPlan, packet dict) in plan order
         overflow_reads: set = set()
         H_cap = R_total_pad
 
@@ -477,22 +509,69 @@ class JaxDemuxEngine:
                 if row_read[r] >= 0:
                     overflow_reads.add(int(row_read[r]))
             with _phase("assemble.host"):
-                self._assemble(
-                    gplan, rec, row_read, meta, lens, overflow_reads, results, read_ids
-                )
+                pkt = self._gather_packet(rec, row_read, meta)
+                if pkt is not None:
+                    packets.append((gplan, pkt))
 
-        for ridx in overflow_reads:
-            results[ridx] = self._scalar_fallback().demux(read_ids[ridx], seqs[ridx])
-
-        out = []
-        for ridx in range(B):
-            if ridx in overflow_reads:
-                out.append(results[ridx])
-            else:
-                out.append(collapse_overlapping_matches(results[ridx], COLLAPSE_OVERLAP))
-        return out
+        with _phase("assemble.host"):
+            return self._finish_table(
+                read_ids, seqs, lens, packets, overflow_reads
+            )
 
     # ------------------------------------------------------------------
+
+    def _choose_L(self, lens: np.ndarray) -> int:
+        """Row width minimizing estimated batch cost, not just fitting
+        the longest read.
+
+        The old max-length pow2 rule let ONE 4.2kb read in a 2048-read
+        batch double EVERY row's padded width (4096 -> 8192): ~2x padded
+        device cells and hit-record fetch rows for the whole batch,
+        where chunking that read costs 4 extra rows.  Candidates stay
+        pow2 (same compiled-shape universe as before; every new shape
+        is a multi-minute executable load on the remote backend).
+
+        Cost model per candidate: padded device cells at the measured
+        ~0.67M cells/ms Myers scan rate plus 2-bit wire bytes at the
+        ~30KB/ms tunnel rate (BASELINE.md "Kernel accounting"); chunk
+        rows ship BOTH strands (simple rows get their rc twin
+        synthesized on device) and every row start is 128B-aligned.
+        BARBELL_AUTO_L=0 restores the max-length rule."""
+        lmax = int(lens.max())
+        top = min(
+            _pow2_at_least(max(lmax, self.halo + PADDING + 3), lo=256),
+            self.max_row_len,
+        )
+        if _os.environ.get("BARBELL_AUTO_L", "1") == "0":
+            return top
+        n = lens[lens > 0]
+        best_L, best_cost = top, None
+        L = top
+        while L >= 256 and L > self.halo + PADDING + 2:
+            step = L - PADDING - self.halo
+            long_lens = n[n > L]
+            n_simple = int(n.size - long_lens.size)
+            nchunks = 1 + (long_lens - L + step - 1) // step
+            rows_long = int(2 * nchunks.sum())
+            R_host_pad = _row_bucket(
+                max(n_simple + rows_long, 1), lo=8, fine=self.fine_rows
+            )
+            S_pad = _row_bucket(max(n_simple, 1), lo=8, fine=self.fine_rows)
+            cells = (R_host_pad + S_pad) * L
+            simple_bytes = int((((n[n <= L] + 3) // 4 + 127) // 128).sum()) * 128
+            # per long read the chunk contents total n + (nchunks-1)*(L-step)
+            chunk_content = int(
+                (long_lens + (nchunks - 1) * (PADDING + self.halo)).sum()
+            )
+            chunk_bytes = 2 * (chunk_content // 4 + int(nchunks.sum()) * 64)
+            cost = cells / 670_000 + (simple_bytes + chunk_bytes) / 30_000
+            # A smaller L must win by >=5%: chunked reads carry
+            # unmodeled host-side encode cost, so near-ties keep the
+            # larger width (fewer chunk rows, fewer live shapes).
+            if best_cost is None or cost < best_cost * 0.95:
+                best_L, best_cost = L, cost
+            L //= 2
+        return best_L
 
     def _plan_shard(self, seq_bytes, lens, read_indices, L: int, step: int):
         """Row plan for one device shard: fwd simple rows first, then
@@ -658,7 +737,7 @@ class JaxDemuxEngine:
 
     def _demux_batch_sharded(
         self, read_ids, seqs, seq_bytes, lens, L: int, step: int
-    ) -> List[List[BarbellMatch]]:
+    ) -> HitTable:
         jax = self._jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -681,8 +760,10 @@ class JaxDemuxEngine:
         R_total_pad = R_host_pad + S_pad
         if R_total_pad * L >= 2**31:
             half = B // 2
-            return self.demux_batch(read_ids[:half], seqs[:half]) + \
-                self.demux_batch(read_ids[half:], seqs[half:])
+            return self._concat_tables(
+                self.demux_batch_table(read_ids[:half], seqs[:half]),
+                self.demux_batch_table(read_ids[half:], seqs[half:]),
+            )
 
         mats = [
             self._materialize(p, seq_bytes, lens, L, R_host_pad, S_pad)
@@ -743,7 +824,7 @@ class JaxDemuxEngine:
                     put(np.concatenate([m[1] for m in mats])),
                 )
 
-        results: List[List[BarbellMatch]] = [[] for _ in seqs]
+        packets: List[tuple] = []  # (_GroupPlan, packet) group-major
         overflow_reads: set = set()
         H_cap = R_total_pad
 
@@ -784,23 +865,17 @@ class JaxDemuxEngine:
                     if row_reads[d][r] >= 0:
                         overflow_reads.add(int(row_reads[d][r]))
                 with _phase("assemble.host"):
-                    self._assemble(
-                        gplan, rec, row_reads[d], metas[d], lens,
-                        overflow_reads, results, read_ids
-                    )
+                    pkt = self._gather_packet(rec, row_reads[d], metas[d])
+                    if pkt is not None:
+                        # a read lives on exactly one shard, so
+                        # group-major shard-minor append keeps each
+                        # read's insertion order group-major
+                        packets.append((gplan, pkt))
 
-        for ridx in overflow_reads:
-            results[ridx] = self._scalar_fallback().demux(read_ids[ridx], seqs[ridx])
-
-        out = []
-        for ridx in range(B):
-            if ridx in overflow_reads:
-                out.append(results[ridx])
-            else:
-                out.append(
-                    collapse_overlapping_matches(results[ridx], COLLAPSE_OVERLAP)
-                )
-        return out
+        with _phase("assemble.host"):
+            return self._finish_table(
+                read_ids, seqs, lens, packets, overflow_reads
+            )
 
     def _dispatch_group_sharded(
         self, gplan: _GroupPlan, dev_in, pack_mode: int, L: int, step: int,
@@ -1144,18 +1219,15 @@ class JaxDemuxEngine:
             row_start_dev, **statics,
         )
 
-    def _assemble(
-        self, gplan: _GroupPlan, rec, row_read, meta, lens,
-        overflow_reads, results, read_ids,
-    ) -> None:
-        """BarbellMatch rows from the fused call's packed records, in the
+    @staticmethod
+    def _gather_packet(rec, row_read, meta):
+        """Raw hit arrays from one fused call's packed records, in the
         scalar engine's order: per read, fwd hits then rc hits, each by
-        ascending end position (chunk dedup makes the key unique)."""
-        group = gplan.group
-        P = gplan.n_patterns
+        ascending end position (chunk dedup makes the key unique).
+        Returns None when the call produced no hits."""
         lanes = np.nonzero(rec[:, comp.REC_HAS] == 1)[0]
         if lanes.size == 0:
-            return
+            return None
         rows = rec[lanes, comp.REC_ROW]
         reads = row_read[rows]
         isrc = meta[rows, comp.M_ISRC]
@@ -1163,82 +1235,149 @@ class JaxDemuxEngine:
             meta[rows, comp.M_OFF] + rec[lanes, comp.REC_COL] - meta[rows, comp.M_TSC]
         )
         order = np.lexsort((end_abs, isrc, reads))
-        flank_type = group.barcodes[0].match_type.as_flank()
-        flank_cost_len = len(group.barcodes[0].seq)
-        # bulk-convert to python ints once — per-element numpy scalar
-        # indexing dominates this loop otherwise (GIL-bound host work
-        # caps the batch pipeline)
-        rec_l = rec[lanes].tolist()
-        reads_l = reads.tolist()
-        isrc_l = isrc.tolist()
-        end_l = end_abs.tolist()
-        lens_l = lens.tolist()
-        R_COST, R_ACC, R_HASIV = comp.REC_COST, comp.REC_ACC, comp.REC_HASIV
-        R_BS, R_FST, R_TOP = comp.REC_BSTART, comp.REC_FSTEXT, comp.REC_TOP
-        R_IVPJ, R_IVEJ, R_IVPI, R_IVEI, R_IVC = (
-            comp.REC_IVPJ, comp.REC_IVEJ, comp.REC_IVPI, comp.REC_IVEI,
-            comp.REC_IVCOST,
+        return dict(
+            reads=reads[order],
+            isrc=isrc[order].astype(np.int64),
+            end=end_abs[order].astype(np.int64),
+            rec=rec[lanes][order],
         )
-        # inlined oracle.cost_to_int — a function call + int() per hit
-        # is ~2.4us of pure GIL time, and this loop bounds pipeline depth
+
+    def _packet_columns(self, gplan: _GroupPlan, pkt, lens):
+        """Vectorized BarbellMatch field math for one packet — the
+        per-hit arithmetic `_gather_packet` left to do, exactly as the
+        old object loop computed it (see hittable module docstring)."""
+        rec = pkt["rec"]
+        reads = pkt["reads"]
+        isrc = pkt["isrc"]
+        end = pkt["end"]
+        n = lens[reads]
+        fst = rec[:, comp.REC_FSTEXT].astype(np.int64)
+        rc = isrc == 1
+        fs = np.where(rc, n - end, fst)
+        fe = np.where(rc, n - fst, end)
         SCALE = oracle.COST_SCALE
-        HALF = SCALE // 2
-        check_overflow = bool(overflow_reads)
-        for oi in order.tolist():
-            ridx = reads_l[oi]
-            if check_overflow and ridx in overflow_reads:
-                continue
-            row = rec_l[oi]
-            n = lens_l[ridx]
-            strand = Strand.Rc if isrc_l[oi] else Strand.Fwd
-            fs_t = row[R_FST]
-            fe_t = end_l[oi]
-            if strand is Strand.Rc:
-                fs, fe = oracle.rc_span_to_fwd(fs_t, fe_t, n)
-            else:
-                fs, fe = fs_t, fe_t
-            flank_cost = (row[R_COST] + HALF) // SCALE
-            if row[R_ACC]:
-                if row[R_HASIV] == 0:
-                    raise RuntimeError("No barcode match region found; unusual")
-                bstart = row[R_BS]
-                barcode = group.barcodes[row[R_TOP] % P]
-                results[ridx].append(
-                    BarbellMatch(
-                        read_id=read_ids[ridx],
-                        read_len=n,
-                        rel_dist_to_end=rel_dist_to_end(fs, n),
-                        read_start_bar=bstart + row[R_IVPJ],
-                        read_end_bar=bstart + row[R_IVEJ],
-                        read_start_flank=fs,
-                        read_end_flank=fe,
-                        bar_start=bstart + row[R_IVPI],
-                        bar_end=bstart + row[R_IVEI],
-                        match_type=barcode.match_type,
-                        flank_cost=flank_cost,
-                        barcode_cost=row[R_IVC],
-                        label=barcode.label,
-                        strand=strand,
-                        cuts=None,
-                    )
+        fcost = (rec[:, comp.REC_COST].astype(np.int64) + SCALE // 2) // SCALE
+        acc = rec[:, comp.REC_ACC] == 1
+        if bool(np.any(acc & (rec[:, comp.REC_HASIV] == 0))):
+            raise RuntimeError("No barcode match region found; unusual")
+        bstart = rec[:, comp.REC_BSTART].astype(np.int64)
+        top = rec[:, comp.REC_TOP].astype(np.int64) % gplan.n_patterns
+        cols = {
+            "reads": reads.astype(np.int64),
+            "rel": hittable.rel_dist_vec(fs, n),
+            "rsb": np.where(acc, bstart + rec[:, comp.REC_IVPJ], fs),
+            "reb": np.where(acc, bstart + rec[:, comp.REC_IVEJ], fe),
+            "rsf": fs,
+            "ref": fe,
+            "bs": np.where(acc, bstart + rec[:, comp.REC_IVPI], 0),
+            "be": np.where(acc, bstart + rec[:, comp.REC_IVEI], 0),
+            "mtype": np.where(
+                acc, gplan.bar_mtype_codes[top], gplan.flank_code
+            ),
+            "fcost": fcost,
+            "bcost": np.where(
+                acc, rec[:, comp.REC_IVCOST].astype(np.int64),
+                gplan.flank_cost_len,
+            ),
+            "label": np.where(acc, gplan.label_base + top, self.flank_label),
+            "strand": isrc,
+        }
+        return cols
+
+    def _finish_table(
+        self, read_ids, seqs, lens, packets, overflow_reads
+    ) -> HitTable:
+        """Merge per-(group, shard) packets into the batch HitTable:
+        restore per-read insertion order (group-major — packets are
+        appended group-major and each is read-ascending), run the
+        overlap collapse, and splice scalar-fallback rows for overflow
+        reads."""
+        col_sets = [
+            self._packet_columns(gplan, pkt, lens) for gplan, pkt in packets
+        ]
+        if col_sets:
+            cols = {
+                c: np.concatenate([cs[c] for cs in col_sets])
+                for c in hittable.COLUMNS
+            }
+            # stable sort by read: per read, packet (= group) order is
+            # preserved — the object path's insertion order
+            order = np.argsort(cols["reads"], kind="stable")
+            cols = {c: v[order] for c, v in cols.items()}
+            if overflow_reads:
+                ok = ~np.isin(
+                    cols["reads"], np.fromiter(overflow_reads, dtype=np.int64)
                 )
-            else:
-                results[ridx].append(
-                    BarbellMatch(
-                        read_id=read_ids[ridx],
-                        read_len=n,
-                        rel_dist_to_end=rel_dist_to_end(fs, n),
-                        read_start_bar=fs,
-                        read_end_bar=fe,
-                        read_start_flank=fs,
-                        read_end_flank=fe,
-                        bar_start=0,
-                        bar_end=0,
-                        match_type=flank_type,
-                        flank_cost=flank_cost,
-                        barcode_cost=flank_cost_len,
-                        label="flank",
-                        strand=strand,
-                        cuts=None,
-                    )
+                cols = {c: v[ok] for c, v in cols.items()}
+            # collapse order: (read, flank start), stable over insertion
+            order = np.lexsort((cols["rsf"], cols["reads"]))
+            cols = {c: v[order] for c, v in cols.items()}
+            keep = hittable.collapse_keep_indices(
+                cols["reads"].tolist(),
+                cols["rsf"].tolist(),
+                cols["ref"].tolist(),
+                cols["mtype"].tolist(),
+                cols["fcost"].tolist(),
+                cols["bcost"].tolist(),
+                COLLAPSE_OVERLAP,
+            )
+            if len(keep) != cols["reads"].shape[0]:
+                keep = np.asarray(keep, dtype=np.int64)
+                cols = {c: v[keep] for c, v in cols.items()}
+        else:
+            cols = {c: np.zeros(0, dtype=np.int64) for c in hittable.COLUMNS}
+
+        if overflow_reads:
+            extra = []
+            for ridx in sorted(overflow_reads):
+                matches = self._scalar_fallback().demux(
+                    read_ids[ridx], seqs[ridx]
                 )
+                if not matches:
+                    continue
+                fb = hittable.matches_to_columns(
+                    ridx, matches, self._label_index
+                )
+                if fb is None:  # pragma: no cover - labels always in vocab
+                    raise RuntimeError(
+                        "scalar fallback produced a label outside the "
+                        "engine vocabulary"
+                    )
+                extra.append(fb)
+            if extra:
+                cols = {
+                    c: np.concatenate([cols[c]] + [e[c] for e in extra])
+                    for c in hittable.COLUMNS
+                }
+                # a read is either all-fallback or all-device, so the
+                # stable read sort keeps each side's internal order
+                order = np.argsort(cols["reads"], kind="stable")
+                cols = {c: v[order] for c, v in cols.items()}
+
+        return HitTable(
+            read_ids=read_ids,
+            read_lens=np.asarray(lens, dtype=np.int64),
+            cols=cols,
+            labels=self.labels,
+        )
+
+    def _table_from_fallback(self, read_ids, seqs, lens) -> HitTable:
+        return self._finish_table(
+            read_ids, seqs, lens, [], set(range(len(seqs)))
+        )
+
+    @staticmethod
+    def _concat_tables(a: HitTable, b: HitTable) -> HitTable:
+        off = len(a.read_ids)
+        cols = {
+            c: np.concatenate(
+                [a.cols[c], b.cols[c] + (off if c == "reads" else 0)]
+            )
+            for c in hittable.COLUMNS
+        }
+        return HitTable(
+            read_ids=list(a.read_ids) + list(b.read_ids),
+            read_lens=np.concatenate([a.read_lens, b.read_lens]),
+            cols=cols,
+            labels=a.labels,
+        )

@@ -256,6 +256,16 @@ class AnnotationWriter:
             self._wrote_header = True
         self._fh.write("".join(row.to_tsv_row() + "\n" for row in rows))
 
+    def write_lines(self, lines) -> None:
+        """Pre-serialized TSV rows (no trailing newline) — the columnar
+        hit-table path; byte-identical to write_rows on the same rows."""
+        if not lines:
+            return
+        if not self._wrote_header:
+            self._fh.write(TSV_HEADER + "\n")
+            self._wrote_header = True
+        self._fh.write("\n".join(lines) + "\n")
+
     def finish(self) -> None:
         # Match the reference (csv::Writer + serialize): the header is
         # only emitted with the first row, so an empty output stays empty.

@@ -124,6 +124,45 @@ def independent_check(
     return False
 
 
+def score_assignments(
+    report: GroupReport,
+    assigned: Dict[str, str],
+    truth: Dict[str, str],
+    ids: set,
+    seqs: Optional[Dict[str, bytes]] = None,
+    verify: bool = False,
+    verify_limit: int = 50,
+    ctx: Optional[List[Tuple]] = None,
+) -> GroupReport:
+    """Score a read_id -> label assignment table against ground truth;
+    shared by the pipeline evaluation and tool-output imports."""
+    # Collapse multi-slice outputs (``_N`` read-id suffixes) onto their
+    # base read: each input read counts at most once toward assigned /
+    # correct, and the PRIMARY (unsuffixed) slice's label wins over any
+    # ``_N`` slice regardless of which label file sorts first.
+    by_read: Dict[str, str] = {}
+    deferred: List[Tuple[str, int, str]] = []
+    for rid, label in assigned.items():
+        if rid in ids:
+            by_read[rid] = label
+        else:
+            base, _, tail = rid.rpartition("_")
+            if tail.isdigit() and base in ids:
+                deferred.append((base, int(tail), label))
+    for base, _n, label in sorted(deferred, key=lambda t: (t[0], t[1])):
+        by_read.setdefault(base, label)
+
+    for rid, label in by_read.items():
+        report.assigned += 1
+        if truth.get(rid) == label:
+            report.correct += 1
+        if verify and report.checked < verify_limit:
+            if independent_check(seqs[rid], label, ctx):
+                report.verified += 1
+            report.checked += 1
+    return report
+
+
 def evaluate_group(
     group: str,
     fastq_path: str,
@@ -148,32 +187,82 @@ def evaluate_group(
         if verify:
             seqs[rid] = seq
 
-    # Collapse multi-slice outputs (``_N`` read-id suffixes) onto their
-    # base read: each input read counts at most once toward assigned /
-    # correct, and the PRIMARY (unsuffixed) slice's label wins over any
-    # ``_N`` slice regardless of which label file sorts first.
-    by_read: Dict[str, str] = {}
-    deferred: List[Tuple[str, int, str]] = []
-    for rid, label in assigned.items():
-        if rid in ids:
-            by_read[rid] = label
-        else:
-            base, _, tail = rid.rpartition("_")
-            if tail.isdigit() and base in ids:
-                deferred.append((base, int(tail), label))
-    for base, _n, label in sorted(deferred, key=lambda t: (t[0], t[1])):
-        by_read.setdefault(base, label)
+    ctx = verify_context(kit) if verify else None
+    return score_assignments(
+        report, assigned, truth, ids, seqs, verify, verify_limit, ctx
+    )
+
+
+def run_import_compare(
+    tool: str,
+    import_path: str,
+    truth_path: str,
+    reads_path: Optional[str] = None,
+    bar_file: Optional[str] = None,
+    normalized_out: Optional[str] = None,
+    trimmed_out: Optional[str] = None,
+    verify: bool = False,
+    verify_limit: int = 50,
+    kit: Optional[str] = None,
+) -> GroupReport:
+    """Score another tool's demux output against ground truth — the
+    importer half of the reference's comparison harness
+    (`benchmarks/src/compare/compare.rs:51-73,97-421`): normalize the
+    tool's layout to ``read_id\\tbarcode\\tlen\\tn_flank_matches``
+    (independent construct re-count included when sequences are
+    available) and evaluate assigned/correct/verified rates."""
+    import tempfile
+
+    from . import ingest
+
+    if verify and not reads_path:
+        raise ValueError(
+            "--verify on an import needs --reads (the original FASTQ) "
+            "to re-search sequences"
+        )
+    truth = read_truth(truth_path)
+    report = GroupReport(group=f"import:{tool}")
+
+    # The input read universe: the original FASTQ when given (defines
+    # total_reads exactly), else the truth table's ids.
+    ids: set = set()
+    seqs: Dict[str, bytes] = {}
+    if reads_path:
+        for header, seq, _q in iter_fastq([reads_path]):
+            rid = split_fastq_header(header)[0]
+            report.total_reads += 1
+            ids.add(rid)
+            seqs[rid] = seq
+    else:
+        ids = set(truth)
+        report.total_reads = len(ids)
+
+    records = ingest.iter_tool_output(
+        tool, import_path, bar_file=bar_file, reads=seqs if seqs else None
+    )
+    counter = ingest.ConstructCounter(ingest.default_bars())
+    if normalized_out is None:
+        # the normalized table is a side artifact unless requested
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".tsv", delete=False
+        )
+        tmp.close()
+        normalized_out = tmp.name
+        keep = False
+    else:
+        keep = True
+    try:
+        assigned = ingest.write_normalized(
+            records, normalized_out, trimmed_out, counter
+        )
+    finally:
+        if not keep:
+            os.unlink(normalized_out)
 
     ctx = verify_context(kit) if verify else None
-    for rid, label in by_read.items():
-        report.assigned += 1
-        if truth.get(rid) == label:
-            report.correct += 1
-        if verify and report.checked < verify_limit:
-            if independent_check(seqs[rid], label, ctx):
-                report.verified += 1
-            report.checked += 1
-    return report
+    return score_assignments(
+        report, assigned, truth, ids, seqs, verify, verify_limit, ctx
+    )
 
 
 def run_compare(

@@ -167,28 +167,50 @@ def annotate(
         except Exception:
             profile_dir = None
 
+    # The device engine yields columnar HitTables (no per-hit Python
+    # objects on the hot path); the oracle engine yields BarbellMatch
+    # lists.  Both serialize to byte-identical TSV.
+    table_mode = hasattr(engine, "demux_batch_table")
+    method = "demux_batch_table" if table_mode else "demux_batch"
+
     sidecar = open(out_file + ".idx", "w") if shard is not None else None
     try:
         with open(out_file, "w") as fh:
             writer = AnnotationWriter(fh)
-            for read_ids, _seqs, per_read in engine_map_batches(engine, batches()):
+            for read_ids, _seqs, out in engine_map_batches(
+                engine, batches(), method=method
+            ):
                 idxs = idx_queue.popleft() if shard is not None else None
-                rows = []
-                found = 0
-                for matches in per_read:
-                    if matches:
-                        found += 1
-                        rows.extend(matches)
-                writer.write_rows(rows)
-                if sidecar is not None:
-                    # one block write per batch (per-read writes are
-                    # GIL time on the pipelined host path)
-                    sidecar.write(
-                        "".join(
-                            f"{si}\t{len(m)}\n"
-                            for si, m in zip(idxs, per_read)
+                if table_mode:
+                    from ..models.hittable import emit_tsv_lines
+
+                    writer.write_lines(emit_tsv_lines(out))
+                    counts = out.rows_per_read()
+                    found = int((counts > 0).sum())
+                    if sidecar is not None:
+                        sidecar.write(
+                            "".join(
+                                f"{si}\t{c}\n"
+                                for si, c in zip(idxs, counts.tolist())
+                            )
                         )
-                    )
+                else:
+                    rows = []
+                    found = 0
+                    for matches in out:
+                        if matches:
+                            found += 1
+                            rows.extend(matches)
+                    writer.write_rows(rows)
+                    if sidecar is not None:
+                        # one block write per batch (per-read writes are
+                        # GIL time on the pipelined host path)
+                        sidecar.write(
+                            "".join(
+                                f"{si}\t{len(m)}\n"
+                                for si, m in zip(idxs, out)
+                            )
+                        )
                 progress.add(0, len(read_ids))
                 progress.add(1, found)
                 progress.add(2, len(read_ids) - found)

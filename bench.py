@@ -314,12 +314,16 @@ def main():
             f"(only full {BATCH}-read batches are timed)",
             file=sys.stderr,
         )
+    from barbell_tpu.models.hittable import MTYPE_CODE
+
+    ftag_code = MTYPE_CODE[BarcodeType.Ftag]
+    vocab_arr = np.asarray(engine.labels)
     pass_times = []
     for rep in range(REPEAT):
         reads = make(N_READS, seed=rep)
         ids = [r[0] for r in reads]
         seqs = [r[1] for r in reads]
-        truth = {r[0]: r[2] for r in reads}
+        truth_arr = np.asarray([r[2] for r in reads])
 
         def batches():
             for i in range(0, len(reads), BATCH):
@@ -330,14 +334,21 @@ def main():
         n_done = 0
         correct = 0
         assigned = 0
-        for bids, _bseqs, out in engine_map_batches(engine, batches()):
+        # The engine yields columnar HitTables (the annotate stage's hot
+        # path); the accuracy check is vectorized so the consumer isn't
+        # the bottleneck being measured.
+        for bids, _bseqs, table in engine_map_batches(
+            engine, batches(), method="demux_batch_table"
+        ):
+            base = n_done
             n_done += len(bids)
-            for rid, rows in zip(bids, out):
-                tags = [m for m in rows if m.match_type == BarcodeType.Ftag]
-                if tags:
-                    assigned += 1
-                    if tags[0].label == truth[rid]:
-                        correct += 1
+            c = table.cols
+            tag = c["mtype"] == ftag_code
+            uniq, first = np.unique(c["reads"][tag], return_index=True)
+            assigned += int(uniq.size)
+            got = vocab_arr[c["label"][tag][first]]
+            want = truth_arr[base : base + len(bids)][uniq]
+            correct += int((got == want).sum())
         dt = time.perf_counter() - t0
         print(
             f"# pass {rep}: {n_done} reads in {dt:.2f}s "
