@@ -25,7 +25,7 @@ process_index 0 / process_count 1.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 def initialize(
@@ -49,11 +49,6 @@ def initialize(
         return jax.process_index(), jax.process_count()
     except RuntimeError:
         return 0, 1
-
-
-def shard_paths(paths: Sequence[str], rank: int, world: int) -> List[str]:
-    """Round-robin file assignment (stable, size-agnostic)."""
-    return [p for i, p in enumerate(paths) if i % world == rank]
 
 
 def shard_output_path(base: str, rank: int, world: int) -> str:

@@ -7,17 +7,10 @@ from barbell_tpu.parallel.distributed import (
     has_completion_marker,
     merge_annotation_shards,
     shard_output_path,
-    shard_paths,
     write_completion_marker,
 )
 from barbell_tpu.sim.simulate import create_testdata, default_barcodes
 from barbell_tpu.stages.annotate import AnnotateConfig, annotate_with_kit
-
-
-def test_shard_paths_round_robin():
-    paths = [f"f{i}.fastq" for i in range(5)]
-    assert shard_paths(paths, 0, 2) == ["f0.fastq", "f2.fastq", "f4.fastq"]
-    assert shard_paths(paths, 1, 2) == ["f1.fastq", "f3.fastq"]
 
 
 def test_record_striped_shards_merge_to_single_run(tmp_path):
