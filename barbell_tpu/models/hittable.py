@@ -92,6 +92,34 @@ def rel_dist_vec(pos: np.ndarray, n: np.ndarray) -> np.ndarray:
     return np.where(pos <= n // 2, left, right)
 
 
+def collapse_candidate_rows(
+    reads: np.ndarray,
+    rsf: np.ndarray,
+    ref_: np.ndarray,
+    threshold: float,
+) -> Optional[np.ndarray]:
+    """Row-index mask of reads that can form a non-singleton overlap
+    group, or None when no read can (every row survives).
+
+    The scalar collapse extends a group only while CONSECUTIVE rows
+    keep joining (it breaks at the first non-joining row), so if no
+    consecutive same-read pair overlaps by >= threshold of the shorter
+    flank, every group is a singleton — checked here as one vector op
+    instead of a per-hit Python loop (the common case: RBK reads carry
+    one hit, NBD reads one per end, far apart)."""
+    n = reads.shape[0]
+    if n < 2:
+        return None
+    same = reads[1:] == reads[:-1]
+    ov = np.minimum(ref_[1:], ref_[:-1]) - np.maximum(rsf[1:], rsf[:-1])
+    shorter = np.minimum(ref_[1:] - rsf[1:], ref_[:-1] - rsf[:-1])
+    pair_hits = same & (ov > 0) & (ov >= threshold * shorter)
+    if not pair_hits.any():
+        return None
+    hot_reads = np.unique(reads[:-1][pair_hits])
+    return np.isin(reads, hot_reads)
+
+
 def collapse_keep_indices(
     reads: List[int],
     rsf: List[int],

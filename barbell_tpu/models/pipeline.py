@@ -170,7 +170,7 @@ class _ShardPlan:
 
     __slots__ = (
         "rows_meta", "simple_reads", "fwd_cover",
-        "long_content", "R_host", "S",
+        "long_reads", "long_content", "R_host", "S",
     )
 
 
@@ -585,7 +585,6 @@ class JaxDemuxEngine:
         rows_meta: List[_Row] = []
         simple_reads: List[int] = []
         fwd_cover: Dict[int, List[Tuple[int, int]]] = {}
-        long_content: List[np.ndarray] = []
 
         # --- simple reads (fit one row; raw bytes, native-encoded) -----
         long_reads: List[int] = []
@@ -611,16 +610,13 @@ class JaxDemuxEngine:
                 offset += step
 
         for ridx in long_reads:
-            with _phase("encode"):
-                arr = dna.encode(seq_bytes[ridx])
-            n = len(arr)
-            rc_arr = dna.reverse_complement_masks(arr)
+            n = int(lens[ridx])
+            spans = chunk_spans(n)
             cover = []
-            for strand, text in ((Strand.Fwd, arr), (Strand.Rc, rc_arr)):
-                for offset, length, is_first, is_last in chunk_spans(n):
+            for strand in (Strand.Fwd, Strand.Rc):
+                for offset, length, is_first, is_last in spans:
                     if strand is Strand.Fwd:
                         cover.append((offset, S + len(rows_meta)))
-                    long_content.append(text[offset : offset + length])
                     lo = 0 if is_first else self.halo + 1
                     hi = length if is_last else L - 1 - PADDING
                     rows_meta.append(
@@ -631,10 +627,36 @@ class JaxDemuxEngine:
         plan.rows_meta = rows_meta
         plan.simple_reads = simple_reads
         plan.fwd_cover = fwd_cover
-        plan.long_content = long_content
+        plan.long_reads = long_reads
+        # chunk-row byte content: encoded natively straight from the raw
+        # read bytes (bbio_encode_pack2_chunks); _long_content
+        # materializes the numpy form lazily for the fallback paths
+        plan.long_content = None
         plan.R_host = S + len(rows_meta)
         plan.S = S
         return plan
+
+    @staticmethod
+    def _long_content(plan, seq_bytes) -> List[np.ndarray]:
+        """Chunk-row 4-bit mask arrays for ``plan``, materialized on
+        demand (nibble fallback / hosts without the native extension;
+        the hot path encodes chunk rows natively from raw bytes)."""
+        if plan.long_content is None:
+            with _phase("encode"):
+                content: List[np.ndarray] = []
+                per_read: Dict[int, List] = {r: [] for r in plan.long_reads}
+                for rowm in plan.rows_meta:
+                    per_read[rowm.read_idx].append(rowm)
+                for ridx in plan.long_reads:
+                    arr = dna.encode(seq_bytes[ridx])
+                    rc_arr = dna.reverse_complement_masks(arr)
+                    for rowm in per_read[ridx]:
+                        text = rc_arr if rowm.strand is Strand.Rc else arr
+                        content.append(
+                            text[rowm.offset : rowm.offset + rowm.tec]
+                        )
+                plan.long_content = content
+        return plan.long_content
 
     def _materialize(
         self, plan, seq_bytes, lens, L: int, R_host_pad: int, S_pad: int,
@@ -646,8 +668,7 @@ class JaxDemuxEngine:
         R_total_pad = R_host_pad + S_pad
         with _phase("encode"):
             host_packed, row_start, exc, pack_mode = self._pack_host_rows(
-                seq_bytes, plan.simple_reads, plan.long_content, R_host_pad,
-                L, force_nibble=force_nibble,
+                seq_bytes, plan, R_host_pad, L, force_nibble=force_nibble,
             )
 
         meta = np.zeros((R_total_pad, comp.META_COLS), dtype=np.int32)
@@ -937,36 +958,8 @@ class JaxDemuxEngine:
         blob = b"".join(seq_bytes[r] for r in simple_reads)
         return blob, offs, ls
 
-    @staticmethod
-    def _pack2_chunk_rows(long_content, S, L, exc, total_exc, store):
-        """Encode long-read chunk rows (4-bit masks) as 2-bit codes.
-
-        Non-ACGT bytes append (flat_pos, mask) pairs to ``exc``;
-        ``store(row_index, codes)`` receives the zero-masked code row.
-        Returns (total_exc, ok) — ok False when the exception list
-        would overflow (caller falls back to nibble rows)."""
-        for i, content in enumerate(long_content):
-            r = S + i
-            codes = dna.MASK_CODE_LUT[content]
-            bad = np.nonzero(codes > 3)[0]
-            if total_exc + len(bad) > _EXC_CAP:
-                return total_exc, False
-            if len(bad):
-                exc[total_exc : total_exc + len(bad), 0] = r * L + bad
-                exc[total_exc : total_exc + len(bad), 1] = content[bad] & 0xF
-                total_exc += len(bad)
-                codes = codes.copy()
-                codes[bad] = 0
-            store(r, codes)
-        return total_exc, True
-
-    @staticmethod
-    def _pack2(row):
-        """Pack a length-multiple-of-4 u8 code row into 2-bit bytes."""
-        return row[0::4] | (row[1::4] << 2) | (row[2::4] << 4) | (row[3::4] << 6)
-
     def _pack_host_rows(
-        self, seq_bytes, simple_reads, long_content, R_host_pad: int, L: int,
+        self, seq_bytes, plan, R_host_pad: int, L: int,
         force_nibble: bool = False,
     ):
         """-> (packed, row_start, exceptions, pack_mode).
@@ -974,18 +967,75 @@ class JaxDemuxEngine:
         Preferred form (mode 2): concatenated 2-bit base codes — rows
         pack back to back so neither the 4x nibble blow-up nor row
         padding crosses the ~30MB/s tunnel (reads average ~56% of the
-        padded row width).  N/IUPAC/junk bytes ride an exception list
-        the device applies after scattering rows into the padded
-        layout.  Batches with more than _EXC_CAP exceptional bytes, or
-        hosts without the native extension, fall back to nibble rows
+        padded row width).  Simple reads AND long-read chunk rows both
+        encode natively straight from the raw read bytes
+        (bbio_encode_pack2_cat / bbio_encode_pack2_chunks — the
+        per-read numpy chunk loop was the largest GIL-bound host phase
+        per batch).  N/IUPAC/junk bytes ride an exception list the
+        device applies after scattering rows into the padded layout.
+        Batches with more than _EXC_CAP exceptional bytes, or hosts
+        without the native extension, fall back to nibble rows
         (mode 0)."""
         import ctypes
 
         from ..native import get_lib
 
+        simple_reads = plan.simple_reads
         S = len(simple_reads)
+        n_chunks = len(plan.rows_meta)
         lib = get_lib()
         mode_override = _os.environ.get("BARBELL_PACK_MODE")
+
+        chunk = None
+
+        def encode_chunks(out_buf, row_out_start, n_exc_in, exc) -> int:
+            """Native fwd+rc chunk-row encode into ``out_buf``; returns
+            the running exception count (may exceed _EXC_CAP)."""
+            nonlocal chunk
+            if chunk is None:
+                rm = plan.rows_meta
+                lmap = {r: i for i, r in enumerate(plan.long_reads)}
+                chunk = self._simple_blob(seq_bytes, plan.long_reads) + (
+                    np.fromiter(
+                        (lmap[m.read_idx] for m in rm), dtype=np.int32,
+                        count=n_chunks,
+                    ),
+                    np.fromiter(
+                        (m.offset for m in rm), dtype=np.int64,
+                        count=n_chunks,
+                    ),
+                    np.fromiter(
+                        (m.strand is Strand.Rc for m in rm), dtype=np.uint8,
+                        count=n_chunks,
+                    ),
+                    (np.arange(n_chunks, dtype=np.int64) + S) * L,
+                )
+            blob_l, offs_l, ls_l, row_rd, row_off, row_rc, row_base = chunk
+            return lib.bbio_encode_pack2_chunks(
+                blob_l,
+                offs_l.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                ls_l.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                n_chunks,
+                row_rd.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                row_off.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                chunk_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                row_rc.ctypes.data_as(ctypes.c_char_p),
+                row_out_start.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                row_base.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                dna.CODE2_LUT.tobytes(),
+                dna.ENCODE_LUT.tobytes(),
+                dna.CODE2C_LUT.tobytes(),
+                dna.MASKC_LUT.tobytes(),
+                out_buf.ctypes.data_as(ctypes.c_char_p),
+                exc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                n_exc_in,
+                _EXC_CAP,
+            )
+
+        chunk_lens = np.fromiter(
+            (m.tec for m in plan.rows_meta), dtype=np.int32, count=n_chunks
+        )
+
         if lib is not None and not force_nibble and mode_override == "1":
             # 2-bit PADDED rows: +33% wire bytes vs the concatenated
             # form, but the device skips the per-row byte gather
@@ -1010,16 +1060,10 @@ class JaxDemuxEngine:
                     _EXC_CAP,
                 )
                 ok = total_exc <= _EXC_CAP
-            if ok and long_content:
-
-                def store_padded(r, codes):
-                    row = np.zeros(L, dtype=np.uint8)
-                    row[: len(codes)] = codes
-                    packed2[r] = self._pack2(row)
-
-                total_exc, ok = self._pack2_chunk_rows(
-                    long_content, S, L, exc, total_exc, store_padded
-                )
+            if ok and n_chunks:
+                row_out = (np.arange(n_chunks, dtype=np.int64) + S) * (L // 4)
+                total_exc = encode_chunks(packed2, row_out, total_exc, exc)
+                ok = total_exc <= _EXC_CAP
             if ok:
                 return packed2, np.zeros(R_host_pad, dtype=np.int32), exc, 1
         if lib is not None and not force_nibble and mode_override != "0":
@@ -1031,8 +1075,8 @@ class JaxDemuxEngine:
                 # time per batch on the hot path)
                 blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
                 nb[:S] = (ls.astype(np.int64) + 3) // 4
-            for i, content in enumerate(long_content):
-                nb[S + i] = (len(content) + 3) // 4
+            if n_chunks:
+                nb[S : S + n_chunks] = (chunk_lens.astype(np.int64) + 3) // 4
             # 128-byte-aligned row starts (~+11% wire) let the device
             # scatter rows with a cheap SLICE gather instead of the
             # per-element take (see composite._assemble_rows2cat); the
@@ -1066,21 +1110,18 @@ class JaxDemuxEngine:
                     _EXC_CAP,
                 )
                 ok = total_exc <= _EXC_CAP
-            if ok and long_content:
-                # long-read chunk rows hold 4-bit masks already
-
-                def store_cat(r, codes):
-                    row = np.zeros(int(nb[r]) * 4, dtype=np.uint8)
-                    row[: len(codes)] = codes
-                    flat[starts[r] : starts[r] + nb[r]] = self._pack2(row)
-
-                total_exc, ok = self._pack2_chunk_rows(
-                    long_content, S, L, exc, total_exc, store_cat
+            if ok and n_chunks:
+                total_exc = encode_chunks(
+                    flat, starts[S : S + n_chunks], total_exc, exc
                 )
+                ok = total_exc <= _EXC_CAP
             if ok:
                 return flat, starts.astype(np.int32), exc, 2
 
         # nibble fallback
+        long_content = (
+            self._long_content(plan, seq_bytes) if n_chunks else []
+        )
         packed = np.zeros((R_host_pad, L // 2), dtype=np.uint8)
         if S and lib is not None:
             blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
@@ -1312,18 +1353,28 @@ class JaxDemuxEngine:
             # collapse order: (read, flank start), stable over insertion
             order = np.lexsort((cols["rsf"], cols["reads"]))
             cols = {c: v[order] for c, v in cols.items()}
-            keep = hittable.collapse_keep_indices(
-                cols["reads"].tolist(),
-                cols["rsf"].tolist(),
-                cols["ref"].tolist(),
-                cols["mtype"].tolist(),
-                cols["fcost"].tolist(),
-                cols["bcost"].tolist(),
-                COLLAPSE_OVERLAP,
+            # vectorized singleton check first: the per-hit Python loop
+            # only runs over reads that actually have an overlapping
+            # consecutive pair (rare — see collapse_candidate_rows)
+            hot = hittable.collapse_candidate_rows(
+                cols["reads"], cols["rsf"], cols["ref"], COLLAPSE_OVERLAP
             )
-            if len(keep) != cols["reads"].shape[0]:
-                keep = np.asarray(keep, dtype=np.int64)
-                cols = {c: v[keep] for c, v in cols.items()}
+            if hot is not None:
+                hot_idx = np.nonzero(hot)[0]
+                keep_hot = hittable.collapse_keep_indices(
+                    cols["reads"][hot_idx].tolist(),
+                    cols["rsf"][hot_idx].tolist(),
+                    cols["ref"][hot_idx].tolist(),
+                    cols["mtype"][hot_idx].tolist(),
+                    cols["fcost"][hot_idx].tolist(),
+                    cols["bcost"][hot_idx].tolist(),
+                    COLLAPSE_OVERLAP,
+                )
+                if len(keep_hot) != hot_idx.shape[0]:
+                    keep = np.ones(cols["reads"].shape[0], dtype=bool)
+                    keep[hot_idx] = False
+                    keep[hot_idx[np.asarray(keep_hot, dtype=np.int64)]] = True
+                    cols = {c: v[keep] for c, v in cols.items()}
         else:
             cols = {c: np.zeros(0, dtype=np.int64) for c in hittable.COLUMNS}
 

@@ -129,6 +129,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_long,
         ]
+        lib.bbio_encode_pack2_chunks.restype = ctypes.c_long
+        lib.bbio_encode_pack2_chunks.argtypes = [
+            ctypes.c_char_p,  # concatenated long-read raw bytes
+            ctypes.POINTER(ctypes.c_long),  # per-read offsets
+            ctypes.POINTER(ctypes.c_int),  # per-read lengths
+            ctypes.c_int,  # n chunk rows
+            ctypes.POINTER(ctypes.c_int),  # row -> local read index
+            ctypes.POINTER(ctypes.c_long),  # row span offset (own strand)
+            ctypes.POINTER(ctypes.c_int),  # row span length
+            ctypes.c_char_p,  # row is-rc flags (u8)
+            ctypes.POINTER(ctypes.c_long),  # row output byte starts
+            ctypes.POINTER(ctypes.c_long),  # row flat bases (row * L)
+            ctypes.c_char_p,  # fwd 2-bit code LUT
+            ctypes.c_char_p,  # fwd mask LUT
+            ctypes.c_char_p,  # rc 2-bit code LUT
+            ctypes.c_char_p,  # rc mask LUT
+            ctypes.c_char_p,  # out buffer
+            ctypes.POINTER(ctypes.c_int),  # exceptions out
+            ctypes.c_long,  # incoming exception count
+            ctypes.c_long,  # exception capacity
+        ]
         lib.bbio_encode_pack2_rows.restype = ctypes.c_long
         lib.bbio_encode_pack2_rows.argtypes = [
             ctypes.c_char_p,

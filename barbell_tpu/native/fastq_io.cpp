@@ -340,6 +340,132 @@ long bbio_encode_pack2_cat(const unsigned char* seqs, const long* offs,
     return n_exc;
 }
 
+// Reverse-complement 2-bit span encode: output position j reads source
+// byte s_end[-j] (s_end points at the source byte for j = 0) through
+// the COMPLEMENT LUTs.  Same exception convention as encode_2bit_span.
+//
+// Fast path (AVX2): mirror of the forward fast path — load 32 source
+// bytes ending at s_end[-j], byte-reverse the vector, and complement
+// the 2-bit code with XOR 3 (A0<->T3, C1<->G2 under the t^(t>>1) map).
+static inline long encode_2bit_span_rc(const unsigned char* s_end, int len,
+                                       unsigned char* p, long flat_base,
+                                       const unsigned char* lut2r,
+                                       const unsigned char* lutmr,
+                                       int* exc_out, long n_exc,
+                                       long exc_cap) {
+    int j = 0;
+#ifdef __AVX2__
+    const __m256i lc = _mm256_set1_epi8(0x20);
+    const __m256i ca = _mm256_set1_epi8('a');
+    const __m256i cc = _mm256_set1_epi8('c');
+    const __m256i cg = _mm256_set1_epi8('g');
+    const __m256i ct = _mm256_set1_epi8('t');
+    const __m256i three = _mm256_set1_epi8(3);
+    const __m256i one = _mm256_set1_epi8(1);
+    const __m256i mul14 = _mm256_set1_epi16(0x0401);      // bytes (1, 4)
+    const __m256i mul116 = _mm256_set1_epi32(0x00100001);  // words (1, 16)
+    const __m256i collect = _mm256_setr_epi8(
+        0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+        0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
+    const __m256i rev_lane = _mm256_setr_epi8(
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0,
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    for (; j + 32 <= len; j += 32) {
+        // source bytes s_end[-(j+31)] .. s_end[-j], reversed into
+        // output order
+        __m256i v = _mm256_loadu_si256((const __m256i*)(s_end - j - 31));
+        v = _mm256_shuffle_epi8(v, rev_lane);
+        v = _mm256_permute2x128_si256(v, v, 1);
+        __m256i vl = _mm256_or_si256(v, lc);
+        __m256i ok = _mm256_or_si256(
+            _mm256_or_si256(_mm256_cmpeq_epi8(vl, ca),
+                            _mm256_cmpeq_epi8(vl, cc)),
+            _mm256_or_si256(_mm256_cmpeq_epi8(vl, cg),
+                            _mm256_cmpeq_epi8(vl, ct)));
+        if (_mm256_movemask_epi8(ok) != -1) {
+            for (int e = j; e < j + 32; e++) {
+                unsigned char code = lut2r[s_end[-e]];
+                if (code > 3) {
+                    if (n_exc < exc_cap) {
+                        exc_out[2 * n_exc] = (int)(flat_base + e);
+                        exc_out[2 * n_exc + 1] = (int)(lutmr[s_end[-e]] & 0xF);
+                    }
+                    n_exc++;
+                    code = 0;  // placeholder; the exception overrides it
+                }
+                p[e >> 2] |= (unsigned char)(code << ((e & 3) * 2));
+            }
+            continue;
+        }
+        __m256i t = _mm256_and_si256(_mm256_srli_epi16(v, 1), three);
+        __m256i code = _mm256_xor_si256(
+            t, _mm256_and_si256(_mm256_srli_epi16(t, 1), one));
+        code = _mm256_xor_si256(code, three);  // complement
+        __m256i w16 = _mm256_maddubs_epi16(code, mul14);
+        __m256i w32 = _mm256_madd_epi16(w16, mul116);
+        __m256i sh = _mm256_shuffle_epi8(w32, collect);
+        unsigned int lo = (unsigned int)_mm256_extract_epi32(sh, 0);
+        unsigned int hi = (unsigned int)_mm256_extract_epi32(sh, 4);
+        memcpy(p + (j >> 2), &lo, 4);
+        memcpy(p + (j >> 2) + 4, &hi, 4);
+    }
+#endif
+    for (; j < len; j++) {
+        unsigned char code = lut2r[s_end[-j]];
+        if (code > 3) {
+            if (n_exc < exc_cap) {
+                exc_out[2 * n_exc] = (int)(flat_base + j);
+                exc_out[2 * n_exc + 1] = (int)(lutmr[s_end[-j]] & 0xF);
+            }
+            n_exc++;
+            code = 0;  // placeholder; the exception overrides it
+        }
+        p[j >> 2] |= (unsigned char)(code << ((j & 3) * 2));
+    }
+    return n_exc;
+}
+
+// Encode long-read chunk rows (fwd + rc strands) as 2-bit codes
+// straight from the raw read bytes — replaces the per-read Python
+// loop (numpy LUT encode + revcomp + per-chunk slice/pack) that was
+// the largest GIL-bound host phase per batch.  Row i covers read
+// row_read[i] (index into offs/read_lens) at span
+// [row_off[i], row_off[i] + row_len[i]) in ITS OWN strand's
+// coordinates (rc spans address the reverse-complemented read, i.e.
+// rc position q maps to source byte n-1-q).  Output bytes go to
+// out + row_out_start[i] (caller-zeroed buffer); exceptions are
+// (row_flat_base[i] + col, mask) int32 pairs appended from n_exc_in.
+// Returns the total exception count (may exceed exc_cap — caller must
+// then fall back to nibble rows).
+long bbio_encode_pack2_chunks(
+    const unsigned char* seqs, const long* offs, const int* read_lens,
+    int n_rows, const int* row_read, const long* row_off,
+    const int* row_len, const unsigned char* row_isrc,
+    const long* row_out_start, const long* row_flat_base,
+    const unsigned char* lut2f, const unsigned char* lutmf,
+    const unsigned char* lut2r, const unsigned char* lutmr,
+    unsigned char* out, int* exc_out, long n_exc_in, long exc_cap) {
+    long n_exc = n_exc_in;
+    for (int i = 0; i < n_rows; i++) {
+        const int r = row_read[i];
+        const int len = row_len[i];
+        unsigned char* p = out + row_out_start[i];
+        memset(p, 0, (len + 3) / 4);
+        if (row_isrc[i]) {
+            const long n = read_lens[r];
+            const unsigned char* s_end = seqs + offs[r] + (n - 1 - row_off[i]);
+            n_exc = encode_2bit_span_rc(s_end, len, p, row_flat_base[i],
+                                        lut2r, lutmr, exc_out, n_exc,
+                                        exc_cap);
+        } else {
+            const unsigned char* s = seqs + offs[r] + row_off[i];
+            n_exc = encode_2bit_span(s, len, p, row_flat_base[i], lut2f,
+                                     lutmf, exc_out, n_exc, exc_cap);
+        }
+    }
+    return n_exc;
+}
+
 // ---- CPU benchmark anchor: scalar bit-parallel Myers cost proxy -----
 //
 // Approximates the reference's per-read compute (whole-read flank scan

@@ -72,6 +72,13 @@ for _m in range(16):
         _out |= _A
     MASK_COMPLEMENT_LUT[_m] = _out
 
+# byte -> complement 4-bit mask / 2-bit code, for the native rc chunk
+# encoder: byte-level composition of the numpy path's
+# MASK_COMPLEMENT_LUT[ENCODE_LUT[b] & 0xF] (invalid bytes keep the
+# N-like 15 mask) and MASK_CODE_LUT of that.
+MASKC_LUT = MASK_COMPLEMENT_LUT[ENCODE_LUT & 0xF]
+CODE2C_LUT = MASK_CODE_LUT[MASKC_LUT]
+
 
 def seq_to_bytes(seq) -> np.ndarray:
     """Coerce str/bytes/ndarray sequence to a uint8 byte array."""

@@ -98,7 +98,10 @@ def run_pass(engine, reads, batch):
 def main():
     import bench  # repo root is on sys.path (inserted above)
 
-    bench._probe_backend(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "180")))
+    bench._probe_backend(
+        float(os.environ.get("BENCH_DEVICE_TIMEOUT", "180")),
+        float(os.environ.get("BENCH_MAX_WAIT", "1800")),
+    )
     from bench import make_reads_rbk
 
     arm_a, arm_b = build_engines()

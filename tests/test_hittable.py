@@ -83,6 +83,33 @@ def test_collapse_keep_indices_matches_object_collapse_fuzz():
             got[rows[i][0]].append(rows[i][1])
         assert got == want, f"trial {trial}"
 
+        # the vectorized fast path (singleton pre-check + loop over hot
+        # reads only) must keep exactly the same rows as the full loop
+        reads_a = np.array([t[0] for t in rows], dtype=np.int64)
+        rsf_a = np.array([t[1].read_start_flank for t in rows], dtype=np.int64)
+        ref_a = np.array([t[1].read_end_flank for t in rows], dtype=np.int64)
+        hot = hittable.collapse_candidate_rows(
+            reads_a, rsf_a, ref_a, COLLAPSE_OVERLAP
+        )
+        if hot is None:
+            fast_keep = list(range(len(rows)))
+        else:
+            hot_idx = np.nonzero(hot)[0]
+            keep_hot = hittable.collapse_keep_indices(
+                reads_a[hot_idx].tolist(),
+                rsf_a[hot_idx].tolist(),
+                ref_a[hot_idx].tolist(),
+                [hittable.MTYPE_CODE[rows[i][1].match_type] for i in hot_idx],
+                [rows[i][1].flank_cost for i in hot_idx],
+                [rows[i][1].barcode_cost for i in hot_idx],
+                COLLAPSE_OVERLAP,
+            )
+            mask = np.ones(len(rows), dtype=bool)
+            mask[hot_idx] = False
+            mask[hot_idx[np.asarray(keep_hot, dtype=np.int64)]] = True
+            fast_keep = np.nonzero(mask)[0].tolist()
+        assert fast_keep == sorted(keep), f"trial {trial} fast path"
+
 
 @pytest.fixture(scope="module")
 def engine():
