@@ -94,7 +94,17 @@ def timing_report() -> str:
     return "\n".join(lines)
 
 
-def engine_map_batches(engine, batches, depth: int = 4, method: str = "demux_batch"):
+#: batches in flight in engine_map_batches.  The fetch round trip on
+#: the remote tunnel (~140-170ms/batch) is hidden by depth overlapping
+#: fetches; once the host phases went native the pipeline became
+#: fetch-latency-bound and depth 8 beat 4 by ~6% in a paired on-chip
+#: A/B (bench_r03/ab_depth.json; 16 was within noise of 8).
+DEFAULT_PIPELINE_DEPTH = int(_os.environ.get("BARBELL_PIPELINE_DEPTH", "8"))
+
+
+def engine_map_batches(
+    engine, batches, depth: Optional[int] = None, method: str = "demux_batch"
+):
     """Run ``engine.<method>`` over an iterator of (ids, seqs) batches
     with ``depth`` batches in flight on a worker thread.
 
@@ -108,6 +118,8 @@ def engine_map_batches(engine, batches, depth: int = 4, method: str = "demux_bat
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    if depth is None:
+        depth = DEFAULT_PIPELINE_DEPTH
     fn = getattr(engine, method)
     with ThreadPoolExecutor(max_workers=depth) as pool:
         inflight = deque()

@@ -12,6 +12,9 @@ Modes (env AB_MODE):
   fine_rows  1/8-octave row buckets vs pow2 row buckets
   batch      AB_BATCH vs AB_BATCH_B (default 4096) on one engine —
              fewer RPCs per read vs more padding + shallower pipeline
+  depth      pipeline depth 4 vs AB_DEPTH_B (default 8) on one engine —
+             more in-flight fetches hide tunnel latency vs more host
+             memory + GIL contention
 
 Env: AB_READS (default 16384), AB_BATCH (2048), AB_REPEAT (3 paired
 passes), BENCH_DEVICE_TIMEOUT.  Output: one JSON line with both arms'
@@ -50,27 +53,34 @@ def build_engines():
         g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
     if MODE == "mono":
         arms = (
-            (JaxDemuxEngine(groups, mono_upload=True), "mono_upload", BATCH),
-            (JaxDemuxEngine(groups, mono_upload=False), "per_array_upload", BATCH),
+            (JaxDemuxEngine(groups, mono_upload=True), "mono_upload", BATCH, None),
+            (JaxDemuxEngine(groups, mono_upload=False), "per_array_upload", BATCH, None),
         )
     elif MODE == "fine_rows":
         arms = (
-            (JaxDemuxEngine(groups, fine_rows=False), "pow2_rows", BATCH),
-            (JaxDemuxEngine(groups, fine_rows=True), "fine_rows", BATCH),
+            (JaxDemuxEngine(groups, fine_rows=False), "pow2_rows", BATCH, None),
+            (JaxDemuxEngine(groups, fine_rows=True), "fine_rows", BATCH, None),
         )
     elif MODE == "batch":
         eng = JaxDemuxEngine(groups)
         bb = int(os.environ.get("AB_BATCH_B", "4096"))
         arms = (
-            (eng, f"batch_{BATCH}", BATCH),
-            (eng, f"batch_{bb}", bb),
+            (eng, f"batch_{BATCH}", BATCH, None),
+            (eng, f"batch_{bb}", bb, None),
+        )
+    elif MODE == "depth":
+        eng = JaxDemuxEngine(groups)
+        db = int(os.environ.get("AB_DEPTH_B", "8"))
+        arms = (
+            (eng, "depth_4", BATCH, 4),
+            (eng, f"depth_{db}", BATCH, db),
         )
     else:
         raise SystemExit(f"unknown AB_MODE {MODE!r}")
     return arms
 
 
-def run_pass(engine, reads, batch):
+def run_pass(engine, reads, batch, depth=None):
     from barbell_tpu.models.pipeline import engine_map_batches
     from barbell_tpu.models.records import BarcodeType
 
@@ -84,7 +94,7 @@ def run_pass(engine, reads, batch):
 
     t0 = time.perf_counter()
     n = correct = 0
-    for bids, _bs, out in engine_map_batches(engine, batches()):
+    for bids, _bs, out in engine_map_batches(engine, batches(), depth=depth):
         n += len(bids)
         for rid, rows in zip(bids, out):
             tags = [m for m in rows if m.match_type == BarcodeType.Ftag]
@@ -108,9 +118,9 @@ def main():
     name_a, name_b = arm_a[1], arm_b[1]
     log(f"mode={MODE}: A={name_a} B={name_b}; warming (cold loads)")
     warm = make_reads_rbk(N_READS, seed=99)
-    for eng, nm, bsz in (arm_a, arm_b):
+    for eng, nm, bsz, dp in (arm_a, arm_b):
         t0 = time.perf_counter()
-        run_pass(eng, warm, bsz)
+        run_pass(eng, warm, bsz, dp)
         log(f"warm {nm}: {time.perf_counter() - t0:.1f}s")
 
     times = {name_a: [], name_b: []}
@@ -119,8 +129,8 @@ def main():
         reads = make_reads_rbk(N_READS, seed=1000 + rep)
         # alternate which arm goes first to cancel slow monotone drift
         order = (arm_a, arm_b) if rep % 2 == 0 else (arm_b, arm_a)
-        for eng, nm, bsz in order:
-            n, dt = run_pass(eng, reads, bsz)
+        for eng, nm, bsz, dp in order:
+            n, dt = run_pass(eng, reads, bsz, dp)
             times[nm].append(dt)
             log(f"pass {rep} {nm}: {n} reads in {dt:.2f}s ({n / dt:.0f} reads/s)")
 
