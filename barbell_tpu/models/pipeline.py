@@ -287,6 +287,13 @@ class JaxDemuxEngine:
             p.patterns_all_dev = jax.numpy.asarray(p.patterns_all)
         self.halo = max(p.span for p in self.plans) + PADDING + 2
         self._fallback: Optional[Demuxer] = None
+        # Sticky hit-record capacity: H_cap starts at the padded row
+        # count (>= 1 hit/row), but workloads with constructs at BOTH
+        # ends (NBD) produce ~2 raw hits/read — just over that cap, so
+        # every batch paid a serialized overflow retry (a second full
+        # device round trip).  The first overflow raises this hint and
+        # all later batches dispatch at the bigger cap directly.
+        self._h_cap_hint = 0
 
         # Global label vocabulary for hit tables: every group's barcode
         # labels in plan order, then the shared "flank" sentinel.
@@ -460,7 +467,7 @@ class JaxDemuxEngine:
 
         packets: List[tuple] = []  # (_GroupPlan, packet dict) in plan order
         overflow_reads: set = set()
-        H_cap = R_total_pad
+        H_cap = max(R_total_pad, self._h_cap_hint)
 
         # Multi-group kits ride ONE fused device call on the mono blob
         # (a dispatch + fetch round trip per group per batch otherwise);
@@ -504,8 +511,10 @@ class JaxDemuxEngine:
             total = int(out_np[-1])
             if total > cap:
                 # Hit-dense batch (many constructs per read): one retry
-                # at a larger static capacity, then whole-batch fallback.
-                cap = _pow2_at_least(total, lo=4 * H_cap)
+                # at a larger static capacity (sticky — later batches
+                # start there), then whole-batch fallback.
+                cap = _pow2_at_least(total + total // 8, lo=2 * H_cap)
+                self._h_cap_hint = max(self._h_cap_hint, cap)
                 out_np = np.asarray(
                     self._dispatch_group(
                         gplan, dev_in, pack_mode, L, step, cap
@@ -859,7 +868,7 @@ class JaxDemuxEngine:
 
         packets: List[tuple] = []  # (_GroupPlan, packet) group-major
         overflow_reads: set = set()
-        H_cap = R_total_pad
+        H_cap = max(R_total_pad, self._h_cap_hint)
 
         pending = []
         for gplan in self.plans:
@@ -877,7 +886,10 @@ class JaxDemuxEngine:
             per_shard = cap * wcols + R_total_pad + 1
             totals = [int(out_np[(d + 1) * per_shard - 1]) for d in range(D)]
             if max(totals) > cap:
-                cap = _pow2_at_least(max(totals), lo=4 * H_cap)
+                cap = _pow2_at_least(
+                    max(totals) + max(totals) // 8, lo=2 * H_cap
+                )
+                self._h_cap_hint = max(self._h_cap_hint, cap)
                 out_np = np.asarray(
                     self._dispatch_group_sharded(
                         gplan, dev_in, pack_mode, L, step, cap

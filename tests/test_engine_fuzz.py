@@ -83,3 +83,59 @@ def test_engine_fuzz_matches_oracle(trial):
     for rid, seq, rows in zip(ids, seqs, got):
         want = d.demux(rid, seq)
         assert rows == want, (trial, rid, rows, want)
+
+
+@pytest.mark.parametrize("sharded", [False, True])
+def test_hit_overflow_retry_is_sticky(sharded):
+    """Reads with MANY constructs overflow the initial hit capacity
+    (H_cap = padded row count): the first batch must retry once at a
+    bigger static cap and stay row-identical to the oracle, and the
+    bigger cap must STICK — the next batch dispatches at it directly
+    (the NBD two-hits-per-read workload sat just over the old cap and
+    paid a serialized retry round trip on EVERY batch)."""
+    rng = random.Random(7)
+    group = _make_group(rng, 3, 16, 8, 12, BarcodeType.Ftag)
+    group.set_flank_threshold(
+        max(1, get_edit_cut_off(group.get_effective_len()))
+    )
+    devices = jax.devices() if sharded else jax.devices()[:1]
+    # sharded: hit capacity is PER SHARD, so each shard needs several
+    # hit-dense reads to overflow its own cap
+    n_reads = 4 * len(devices)
+    engine = JaxDemuxEngine([group], devices=devices)
+    d = Demuxer(alpha=0.4, min_score=0.2, min_score_diff=0.1)
+    d.add_query_group(group)
+
+    calls = []
+    name = "_dispatch_group_sharded" if sharded else "_dispatch_group"
+    orig = getattr(engine, name)
+
+    def counting(gplan, dev_in, pack_mode, L, step, H_cap):
+        calls.append(H_cap)
+        return orig(gplan, dev_in, pack_mode, L, step, H_cap)
+
+    setattr(engine, name, counting)
+
+    def make_batch(seed):
+        r = random.Random(seed)
+        ids, seqs = [], []
+        for i in range(n_reads):
+            parts = []
+            for _ in range(12):  # 12 constructs per read >> rows/read
+                q = group.barcodes[r.randrange(3)].seq
+                parts.append(q + _rand_seq(r, 30))
+            ids.append(f"s{seed}_{i}")
+            seqs.append(b"".join(parts))
+        return ids, seqs
+
+    ids1, seqs1 = make_batch(1)
+    got1 = engine.demux_batch(ids1, seqs1)
+    assert engine._h_cap_hint > 0, "overflow retry did not set the hint"
+    assert len(calls) == 2 and calls[1] > calls[0], calls
+
+    ids2, seqs2 = make_batch(2)
+    got2 = engine.demux_batch(ids2, seqs2)
+    assert len(calls) == 3 and calls[2] == engine._h_cap_hint, calls
+
+    for rid, seq, rows in zip(ids1 + ids2, seqs1 + seqs2, got1 + got2):
+        assert rows == d.demux(rid, seq), rid
