@@ -15,7 +15,8 @@ Input rows ship as 2-bit base codes (4 bases per byte — the remote
 tunnel runs ~30MB/s, so wire bytes matter) with N/IUPAC/junk bytes on a
 device-applied exception list, encoded+packed by the native C++
 extension in one GIL-free pass; nibble packing remains the fallback.
-Batches pipeline 4-deep via :func:`engine_map_batches`.
+Batches pipeline 8-deep (``BARBELL_PIPELINE_DEPTH``) via
+:func:`engine_map_batches`.
 
 Row coordinate model: a device row holds text in columns
 ``[tsc, tec]``.  Forward rows are left-aligned (tsc=0); rc rows are
