@@ -372,7 +372,15 @@ def main():
 
     ftag_code = MTYPE_CODE[BarcodeType.Ftag]
     vocab_arr = np.asarray(engine.labels)
+    # The CPU anchor is re-measured once per PASS (same fixed dataset)
+    # and the headline vs_baseline is the MEDIAN of per-pass ratios:
+    # host load on the shared bench box moves the anchor +/-10% hour to
+    # hour, and a single once-per-run anchor let that noise flip the
+    # sign of the headline margin (round-3 post-mortem, VERDICT r03).
+    anchor_reads = make(min(N_READS, 4096), seed=1234)
     pass_times = []
+    pass_anchor_rps = []
+    pass_ratios = []
     for rep in range(REPEAT):
         reads = make(N_READS, seed=rep)
         ids = [r[0] for r in reads]
@@ -404,11 +412,24 @@ def main():
             want = truth_arr[base : base + len(bids)][uniq]
             correct += int((got == want).sum())
         dt = time.perf_counter() - t0
+        pass_rps = n_done / dt
+        anchor = measure_cpu_anchor(groups, anchor_reads)
+        if anchor is not None:
+            anchor_rps, valleys = anchor
+            pass_anchor_rps.append(anchor_rps)
+            pass_ratios.append(pass_rps / (anchor_rps * SIMD_FACTOR))
+            anchor_note = (
+                f"; anchor {anchor_rps:.0f} scalar reads/s "
+                f"({valleys} valleys) -> ratio {pass_ratios[-1]:.3f}"
+            )
+        else:
+            pass_ratios.append(pass_rps / FALLBACK_ANCHOR)
+            anchor_note = "; anchor unavailable (nominal denominator)"
         print(
             f"# pass {rep}: {n_done} reads in {dt:.2f}s "
-            f"({n_done / dt:.0f} reads/s); "
+            f"({pass_rps:.0f} reads/s); "
             f"assigned {assigned / max(1, n_done):.3f}, "
-            f"correct {correct / max(1, n_done):.3f}",
+            f"correct {correct / max(1, n_done):.3f}{anchor_note}",
             file=sys.stderr,
         )
         assert correct == n_done or correct / max(1, n_done) > 0.99, "accuracy regression"
@@ -417,18 +438,29 @@ def main():
     dt = float(np.median(pass_times))
     rps = n_done / dt
 
-    anchor = measure_cpu_anchor(groups, make(min(N_READS, 4096), seed=1234))
-    if anchor is not None:
-        anchor_rps, valleys = anchor
-        baseline = anchor_rps * SIMD_FACTOR
+    extra = {}
+    if pass_anchor_rps:
+        anchor_median = float(np.median(pass_anchor_rps))
+        baseline = anchor_median * SIMD_FACTOR
+        spread = (
+            (max(pass_anchor_rps) - min(pass_anchor_rps)) / anchor_median
+            if anchor_median
+            else 0.0
+        )
         ncores = os.cpu_count() or 1
         print(
-            f"# cpu anchor: scalar Myers proxy {anchor_rps:.0f} reads/s "
-            f"@ {ANCHOR_THREADS} threads on {ncores} core(s) "
-            f"({valleys} valleys); x{SIMD_FACTOR:.0f} SIMD allowance -> "
+            f"# cpu anchor: scalar Myers proxy median {anchor_median:.0f} "
+            f"reads/s over {len(pass_anchor_rps)} per-pass runs "
+            f"(spread {spread:.1%}) @ {ANCHOR_THREADS} threads on "
+            f"{ncores} core(s); x{SIMD_FACTOR:.0f} SIMD allowance -> "
             f"baseline {baseline:.0f} reads/s (measured, see BASELINE.md)",
             file=sys.stderr,
         )
+        extra = {
+            "anchor_scalar_median": round(anchor_median, 1),
+            "anchor_spread": round(spread, 4),
+            "pass_ratios": [round(r, 3) for r in pass_ratios],
+        }
     else:
         baseline = FALLBACK_ANCHOR
         print(
@@ -443,13 +475,18 @@ def main():
         f"assigned {assigned / max(1, n_done):.3f}, correct {acc:.3f}",
         file=sys.stderr,
     )
+    # vs_baseline = median of per-pass (engine / anchor) ratios: each
+    # ratio pairs a pass with an anchor measured in the same minutes,
+    # so a host-load swing moves both sides together instead of
+    # flipping the headline sign.
     print(
         json.dumps(
             {
                 "metric": cfg["metric"],
                 "value": round(rps, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(rps / baseline, 3),
+                "vs_baseline": round(float(np.median(pass_ratios)), 3),
+                **extra,
                 **(
                     {"probe_attempts": _PROBE_ATTEMPTS}
                     if _PROBE_ATTEMPTS > 1
