@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-score-diff", type=float, default=0.1)
     p.add_argument("--use-extended", action="store_true")
     p.add_argument("--alpha", type=float, default=0.4)
+    p.add_argument(
+        "--ends-window", type=int, default=None,
+        help="Scan only each read's first/last N bases (device backend;"
+        " mid-read hits are skipped). Default: whole-read scan.",
+    )
     p.add_argument("--shard-rank", type=int, default=None,
                    help="Multi-host: this host's rank (with --shard-world)")
     p.add_argument("--shard-world", type=int, default=None,
@@ -121,6 +126,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-extended", action="store_true")
     p.add_argument("--alpha", type=float, default=0.4)
     p.add_argument("--gzip", action="store_true")
+    p.add_argument(
+        "--full-scan",
+        action="store_true",
+        help="Scan whole reads instead of the preset-window ends-only "
+        "fast path (the presets positionally reject mid-read hits; "
+        "--use-extended implies full scan).",
+    )
     p.add_argument(
         "--no-stream",
         action="store_true",
@@ -212,6 +224,7 @@ def _dispatch(args) -> int:
             use_extended=args.use_extended,
             backend=args.backend,
             batch_size=args.batch_size,
+            ends_window=args.ends_window,
         )
         inputs = args.input
         output = args.output
@@ -295,6 +308,7 @@ def _dispatch(args) -> int:
             backend=args.backend,
             batch_size=args.batch_size,
             stream=not args.no_stream,
+            full_scan=args.full_scan,
         )
         demux_using_kit(args.input, config)
 

@@ -179,11 +179,26 @@ class _Row:
 
 
 class _ShardPlan:
-    """Row plan for one device shard (or the whole batch, single-device)."""
+    """Row plan for one device shard (or the whole batch, single-device).
+
+    Host-row layout: ``[0, S)`` simple forward reads, ``[S, S + 2E)``
+    ends-mode rows (prefix/suffix pairs of long reads, SURVEY §5.7),
+    ``[S + 2E, R_host)`` long-read chunk rows.  Rows ``[0, S + 2E)``
+    get device-synthesized rc twins (F = S + 2E flip rows); chunk rows
+    ship both strands from the host."""
 
     __slots__ = (
-        "rows_meta", "simple_reads", "fwd_cover",
-        "long_reads", "long_content", "R_host", "S",
+        "rows_meta", "simple_reads", "ends_reads", "fwd_cover",
+        "long_reads", "long_content", "R_host", "S", "E", "F",
+    )
+
+
+class _Mat:
+    """One shard's materialized host arrays (see _materialize)."""
+
+    __slots__ = (
+        "host_packed", "row_start", "exc", "pack_mode", "simple_idx",
+        "meta", "row_read", "rowdesc", "chunk_meta",
     )
 
 
@@ -248,6 +263,9 @@ class JaxDemuxEngine:
         devices: Optional[Sequence] = None,
         fine_rows: Optional[bool] = None,
         mono_upload: Optional[bool] = None,
+        ends_window: Optional[int] = None,
+        meta_mode: Optional[str] = None,
+        cat_align: Optional[int] = None,
     ):
         from ..utils.jaxcache import enable_compilation_cache
 
@@ -365,6 +383,48 @@ class JaxDemuxEngine:
                 f"headroom) cannot hold the flank halo {self.halo}"
             )
 
+        # Ends-only fast path (SURVEY §5.7): reads longer than
+        # max(2W, L) ship ONLY their first/last W bases as two forward
+        # rows (rc twins synthesized on device, like simple reads) —
+        # the structural wire cut for kit-preset demux, whose filter
+        # patterns positionally reject mid-read hits anyway.  Hits with
+        # end positions in [0, W-1-PADDING] or [n-W+halo+1, n] are
+        # byte-identical to the full scan; the middle is not scanned
+        # (documented mode — see stages/kit.ends_window_for_patterns
+        # for the preset-derived W).
+        self.ends_window = int(ends_window) if ends_window else 0
+        if self.ends_window:
+            W = self.ends_window
+            if W <= self.halo + PADDING + 2:
+                raise ValueError(
+                    f"ends_window {W} must exceed halo+padding "
+                    f"({self.halo + PADDING + 2})"
+                )
+            if 2 * W > self.max_row_len:
+                raise ValueError(
+                    f"ends_window {W} needs rows of 2W <= max_row_len "
+                    f"({self.max_row_len})"
+                )
+        # Wire meta mode: 'desc' derives per-row metadata + byte starts
+        # on device from a 4-byte/row descriptor (pack_mode 2 only;
+        # ~24B -> 4B per row on the ~30MB/s tunnel); 'wire' uploads the
+        # packed meta rows.  BARBELL_META_MODE=wire restores the old
+        # layout for debugging/A-B.
+        if meta_mode is None:
+            meta_mode = _os.environ.get("BARBELL_META_MODE", "desc")
+        if meta_mode not in ("wire", "desc"):
+            raise ValueError(f"meta_mode must be 'wire' or 'desc', got {meta_mode!r}")
+        self.meta_mode = meta_mode
+        # Concatenated-row byte alignment: 128 keeps the device scatter
+        # on (1, 128) slab gathers; 64 halves the per-row padding waste
+        # (matters in ends mode where rows are short) at 2x gather
+        # indices — A/B'd on hardware (BARBELL_CAT_ALIGN).
+        if cat_align is None:
+            cat_align = int(_os.environ.get("BARBELL_CAT_ALIGN", "128"))
+        if cat_align not in (64, 128):
+            raise ValueError(f"cat_align must be 64 or 128, got {cat_align}")
+        self.cat_align = cat_align
+
     # ------------------------------------------------------------------
 
     def _scalar_fallback(self) -> Demuxer:
@@ -418,7 +478,7 @@ class JaxDemuxEngine:
         self.last_dispatch = "single"
         plan = self._plan_shard(seq_bytes, lens, range(B), L, step)
         R_host_pad = _row_bucket(max(plan.R_host, 1), lo=8, fine=self.fine_rows)
-        S_pad = _row_bucket(max(plan.S, 1), lo=8, fine=self.fine_rows)
+        S_pad = _row_bucket(max(plan.F, 1), lo=8, fine=self.fine_rows)
         R_total_pad = R_host_pad + S_pad
 
         # Flat row indexing (gathers, exception scatter) is int32: keep
@@ -434,41 +494,64 @@ class JaxDemuxEngine:
                 self.demux_batch_table(read_ids[half:], seqs[half:]),
             )
 
-        (host_packed, row_start, exc, pack_mode, simple_idx, meta,
-         row_read) = self._materialize(
-            plan, seq_bytes, lens, L, R_host_pad, S_pad
-        )
+        mat = self._materialize(plan, seq_bytes, lens, L, R_host_pad, S_pad)
+        pack_mode, meta, row_read = mat.pack_mode, mat.meta, mat.row_read
+        exc = mat.exc
         # Entries fill the exception list in order, so a sentinel at
         # index 64 means <= 64 real entries: upload the 64-entry prefix
         # instead of the 4096-entry worst case (pure wire; real
         # nanopore reads rarely carry N/IUPAC bytes).
         if exc.shape[0] > 64 and exc[64, 0] == R_host_pad * L:
             exc = exc[:64]
+        # Derived-metadata wire mode: a 4B/row descriptor replaces the
+        # 24B/row packed meta + simple_idx + row_start uploads (needs
+        # the 2-bit cat encoding; rowdesc packs lengths in 29 bits).
+        desc = (
+            self.meta_mode == "desc"
+            and pack_mode == 2
+            and int(lens.max()) < 1 << 29
+        )
+        extra = {"meta_mode": "desc", "S_pad": S_pad} if desc else None
 
         if self.mono_upload:
             # ONE wire transfer per batch: the tunnel charges fixed
             # per-transfer overhead, so five small uploads cost more
             # than one fused buffer (demux_call_mono slices on device).
             with _phase("pack_upload"):
-                blob, spans = comp.build_blob_np(
-                    host_packed, simple_idx, comp.pack_meta_np(meta), exc,
-                    row_start,
-                )
+                if desc:
+                    blob, spans = comp.build_blob_desc_np(
+                        mat.host_packed, mat.rowdesc, mat.chunk_meta, exc
+                    )
+                else:
+                    blob, spans = comp.build_blob_np(
+                        mat.host_packed, mat.simple_idx,
+                        comp.pack_meta_np(meta), exc, mat.row_start,
+                    )
                 dev_in = ("mono", jnp.asarray(blob), spans)
         else:
             with _phase("pack_upload"):
-                dev_in = (
-                    "multi",
-                    jnp.asarray(host_packed),
-                    jnp.asarray(simple_idx),
-                    jnp.asarray(comp.pack_meta_np(meta)),
-                    jnp.asarray(exc),
-                    jnp.asarray(row_start),
-                )
+                if desc:
+                    dev_in = (
+                        "multi",
+                        jnp.asarray(mat.host_packed),
+                        jnp.asarray(mat.chunk_meta),
+                        jnp.asarray(mat.rowdesc),
+                        jnp.asarray(exc),
+                        jnp.zeros(1, dtype=jnp.int32),
+                    )
+                else:
+                    dev_in = (
+                        "multi",
+                        jnp.asarray(mat.host_packed),
+                        jnp.asarray(mat.simple_idx),
+                        jnp.asarray(comp.pack_meta_np(meta)),
+                        jnp.asarray(exc),
+                        jnp.asarray(mat.row_start),
+                    )
 
         packets: List[tuple] = []  # (_GroupPlan, packet dict) in plan order
         overflow_reads: set = set()
-        H_cap = max(R_total_pad, self._h_cap_hint)
+        H_cap = self._h_cap(B, plan, R_total_pad)
 
         # Multi-group kits ride ONE fused device call on the mono blob
         # (a dispatch + fetch round trip per group per batch otherwise);
@@ -479,7 +562,7 @@ class JaxDemuxEngine:
             self.last_dispatch = "single-fused"
             with _phase("demux_call.dispatch"):
                 all_dev = self._dispatch_all_groups(
-                    dev_in, pack_mode, L, step, H_cap
+                    dev_in, pack_mode, L, step, H_cap, extra
                 )
             with _phase("demux_call.fetch"):
                 all_np = np.asarray(all_dev)
@@ -493,7 +576,7 @@ class JaxDemuxEngine:
             for gplan in self.plans:
                 with _phase("demux_call.dispatch"):
                     out_dev = self._dispatch_group(
-                        gplan, dev_in, pack_mode, L, step, H_cap
+                        gplan, dev_in, pack_mode, L, step, H_cap, extra
                     )
                 pending.append((gplan, out_dev))
 
@@ -518,7 +601,7 @@ class JaxDemuxEngine:
                 self._h_cap_hint = max(self._h_cap_hint, cap)
                 out_np = np.asarray(
                     self._dispatch_group(
-                        gplan, dev_in, pack_mode, L, step, cap
+                        gplan, dev_in, pack_mode, L, step, cap, extra
                     )
                 )
                 rec = self._unpack_rec(out_np, cap, wcols, wbits)
@@ -560,6 +643,14 @@ class JaxDemuxEngine:
         synthesized on device) and every row start is 128B-aligned.
         BARBELL_AUTO_L=0 restores the max-length rule."""
         lmax = int(lens.max())
+        if self.ends_window:
+            # Ends mode: L = pow2(min(lmax, 2W)) — reads <= L ship
+            # whole (they ARE their own ends), longer reads become two
+            # W-wide end rows.  The full cost model is moot: shipped
+            # bytes are ~min(n, 2W) regardless of L, and the smallest L
+            # holding 2W minimizes padded device cells.
+            eff = min(max(lmax, self.halo + PADDING + 3), 2 * self.ends_window)
+            return min(_pow2_at_least(eff, lo=256), self.max_row_len)
         top = min(
             _pow2_at_least(max(lmax, self.halo + PADDING + 3), lo=256),
             self.max_row_len,
@@ -597,28 +688,40 @@ class JaxDemuxEngine:
 
     def _plan_shard(self, seq_bytes, lens, read_indices, L: int, step: int):
         """Row plan for one device shard: fwd simple rows first, then
-        fwd+rc chunk rows of long reads.  All row indices are
-        shard-local; read indices stay global."""
+        ends-mode prefix/suffix row pairs, then fwd+rc chunk rows of
+        long reads.  All row indices are shard-local; read indices stay
+        global."""
         plan = _ShardPlan()
         # rows [0, S) are the simple reads, one fwd row each, fully
         # described by (read_idx, len) — no per-row object (a _Row per
         # simple read was ~4ms of GIL time per 2048-read batch).
-        # rows_meta holds ONLY the long-read chunk rows [S, R_host).
+        # rows_meta holds ONLY the long-read chunk rows [F, R_host).
         rows_meta: List[_Row] = []
         simple_reads: List[int] = []
+        ends_reads: List[int] = []
         fwd_cover: Dict[int, List[Tuple[int, int]]] = {}
 
         # --- simple reads (fit one row; raw bytes, native-encoded) -----
+        # Ends mode: reads longer than max(L, 2W) ship only their end
+        # windows (disjoint since n > 2W); the chunk path stays for the
+        # L < n <= 2W corner (possible only when max_row_len clamps L
+        # below 2W — the whole read is then within W of an end and the
+        # full chunk scan is equivalent).
+        ends_cut = max(L, 2 * self.ends_window) if self.ends_window else None
         long_reads: List[int] = []
         for ridx in read_indices:
             n = lens[ridx]
             if n == 0:
                 continue
-            if n > L:
+            if ends_cut is not None and n > ends_cut:
+                ends_reads.append(ridx)
+            elif n > L:
                 long_reads.append(ridx)
             else:
                 simple_reads.append(ridx)
         S = len(simple_reads)
+        E = len(ends_reads)
+        F = S + 2 * E
 
         # --- long reads: host-built fwd + rc chunk rows ----------------
         def chunk_spans(n: int):
@@ -638,7 +741,7 @@ class JaxDemuxEngine:
             for strand in (Strand.Fwd, Strand.Rc):
                 for offset, length, is_first, is_last in spans:
                     if strand is Strand.Fwd:
-                        cover.append((offset, S + len(rows_meta)))
+                        cover.append((offset, F + len(rows_meta)))
                     lo = 0 if is_first else self.halo + 1
                     hi = length if is_last else L - 1 - PADDING
                     rows_meta.append(
@@ -648,14 +751,17 @@ class JaxDemuxEngine:
 
         plan.rows_meta = rows_meta
         plan.simple_reads = simple_reads
+        plan.ends_reads = ends_reads
         plan.fwd_cover = fwd_cover
         plan.long_reads = long_reads
         # chunk-row byte content: encoded natively straight from the raw
         # read bytes (bbio_encode_pack2_chunks); _long_content
         # materializes the numpy form lazily for the fallback paths
         plan.long_content = None
-        plan.R_host = S + len(rows_meta)
+        plan.R_host = F + len(rows_meta)
         plan.S = S
+        plan.E = E
+        plan.F = F
         return plan
 
     @staticmethod
@@ -682,11 +788,10 @@ class JaxDemuxEngine:
 
     def _materialize(
         self, plan, seq_bytes, lens, L: int, R_host_pad: int, S_pad: int,
-        force_nibble: bool = False,
-    ):
-        """-> (host_packed, row_start, exc, pack_mode, simple_idx, meta,
-        row_read) for one shard's plan.  Pure w.r.t. the plan (safe to
-        call twice, e.g. for a nibble re-pack)."""
+        force_nibble: bool = False, C_pad: Optional[int] = None,
+    ) -> "_Mat":
+        """Materialize one shard's host arrays.  Pure w.r.t. the plan
+        (safe to call twice, e.g. for a nibble re-pack)."""
         R_total_pad = R_host_pad + S_pad
         with _phase("encode"):
             host_packed, row_start, exc, pack_mode = self._pack_host_rows(
@@ -697,13 +802,15 @@ class JaxDemuxEngine:
         meta[:, comp.M_HI] = -1
         row_read = np.full(R_total_pad, -1, dtype=np.int64)
         simple_idx = np.zeros(S_pad, dtype=np.int32)
+        rowdesc = np.zeros(R_host_pad, dtype=np.int32)
 
         # Simple reads fill rows [0, S) (fwd, appended first by
         # _plan_shard) and [R_host_pad, R_host_pad + S) (their rc
         # twins): per-batch ~2*BATCH rows, built as column-vector ops —
         # a per-row Python loop here costs ~10ms/batch on the 1-core
         # bench host, squarely on the pipelined hot path.
-        S = plan.S
+        S, E, F = plan.S, plan.E, plan.F
+        simple_idx[:F] = np.arange(F, dtype=np.int32)
         if S:
             sr = np.asarray(plan.simple_reads, dtype=np.int64)
             ns = np.asarray(lens, dtype=np.int64)[sr].astype(np.int32)
@@ -729,11 +836,66 @@ class JaxDemuxEngine:
             rc[:, comp.M_NCHUNKS] = 1
             row_read[:S] = sr
             row_read[R_host_pad : R_host_pad + S] = sr
-            simple_idx[:S] = idx
+            rowdesc[:S] = ns << 2  # tag 0
 
-        # Long-read chunk rows [S, R_host): few per batch, loop is fine.
-        for mi in range(S, plan.R_host):
-            rowm = plan.rows_meta[mi - S]
+        # Ends-mode rows [S, F): interleaved prefix/suffix pairs, plus
+        # their on-device rc twins at [R_host_pad + S, R_host_pad + F).
+        # The flip of the forward PREFIX is the rc-coordinate SUFFIX
+        # window (and vice versa); both cover rows are the forward pair
+        # (baserow = prefix row), selected on device by
+        # ``bstart >= n - W``.
+        if E:
+            W = self.ends_window
+            er = np.asarray(plan.ends_reads, dtype=np.int64)
+            ne = np.asarray(lens, dtype=np.int64)[er].astype(np.int32)
+            rows_p = (S + 2 * np.arange(E, dtype=np.int64)).astype(np.int32)
+            blk = np.zeros((2 * E, comp.META_COLS), dtype=np.int32)
+            pre, suf = blk[0::2], blk[1::2]
+            for half in (pre, suf):
+                half[:, comp.M_TEC] = W
+                half[:, comp.M_N] = ne
+                half[:, comp.M_FSIMPLE] = -1
+                half[:, comp.M_BASEROW] = rows_p
+                half[:, comp.M_NCHUNKS] = 2
+                half[:, comp.M_ENDS] = 1
+            pre[:, comp.M_TSTART] = 1
+            pre[:, comp.M_HI] = W - 1 - PADDING
+            suf[:, comp.M_TEND] = 1
+            suf[:, comp.M_LO] = self.halo + 1
+            suf[:, comp.M_HI] = W
+            suf[:, comp.M_OFF] = ne - W
+            meta[S:F] = blk
+
+            tb = np.zeros((2 * E, comp.META_COLS), dtype=np.int32)
+            tpre, tsuf = tb[0::2], tb[1::2]  # flips of fwd prefix/suffix
+            for half in (tpre, tsuf):
+                half[:, comp.M_TSC] = L - W
+                half[:, comp.M_TEC] = L
+                half[:, comp.M_N] = ne
+                half[:, comp.M_ISRC] = 1
+                half[:, comp.M_FSIMPLE] = -1
+                half[:, comp.M_BASEROW] = rows_p
+                half[:, comp.M_NCHUNKS] = 2
+                half[:, comp.M_ENDS] = 1
+            tpre[:, comp.M_TEND] = 1  # rc suffix window
+            tpre[:, comp.M_LO] = L - W + self.halo + 1
+            tpre[:, comp.M_HI] = L
+            tpre[:, comp.M_OFF] = ne - W
+            tsuf[:, comp.M_TSTART] = 1  # rc prefix window
+            tsuf[:, comp.M_LO] = L - W
+            tsuf[:, comp.M_HI] = L - 1 - PADDING
+            meta[R_host_pad + S : R_host_pad + F] = tb
+
+            er2 = np.repeat(er, 2)
+            row_read[S:F] = er2
+            row_read[R_host_pad + S : R_host_pad + F] = er2
+            rowdesc[S:F:2] = (ne << 2) | 1
+            rowdesc[S + 1 : F : 2] = (ne << 2) | 2
+
+        # Long-read chunk rows [F, R_host): few per batch, loop is fine.
+        n_chunks = len(plan.rows_meta)
+        for mi in range(F, plan.R_host):
+            rowm = plan.rows_meta[mi - F]
             ridx = rowm.read_idx
             cover = plan.fwd_cover[ridx]
             meta[mi] = (
@@ -749,9 +911,30 @@ class JaxDemuxEngine:
                 -1,
                 cover[0][1],
                 len(cover),
+                0,
             )
             row_read[mi] = ridx
-        return host_packed, row_start, exc, pack_mode, simple_idx, meta, row_read
+        if n_chunks:
+            rowdesc[F : F + n_chunks] = (
+                np.arange(n_chunks, dtype=np.int32) << 2
+            ) | 3
+        if C_pad is None:
+            C_pad = _row_bucket(max(n_chunks, 1), lo=8, fine=self.fine_rows)
+        chunk_meta = np.zeros((C_pad, comp.META_WIRE_COLS), dtype=np.int32)
+        if n_chunks:
+            chunk_meta[:n_chunks] = comp.pack_meta_np(meta[F : F + n_chunks])
+
+        mat = _Mat()
+        mat.host_packed = host_packed
+        mat.row_start = row_start
+        mat.exc = exc
+        mat.pack_mode = pack_mode
+        mat.simple_idx = simple_idx
+        mat.meta = meta
+        mat.row_read = row_read
+        mat.rowdesc = rowdesc
+        mat.chunk_meta = chunk_meta
+        return mat
 
     # ------------------------------------------------------------------
     # Multi-device path: shard the batch's reads over the mesh and run
@@ -762,10 +945,13 @@ class JaxDemuxEngine:
         count (a read's chunk rows must share a shard: barcode windows
         gather from sibling chunk rows).  Deterministic."""
         B = len(lens)
+        ends_cut = max(L, 2 * self.ends_window) if self.ends_window else None
         nrows = np.ones(B, dtype=np.int64)
         for r in range(B):
             n = int(lens[r])
-            if n > L:
+            if ends_cut is not None and n > ends_cut:
+                nrows[r] = 2  # two host end rows (+2 device twins)
+            elif n > L:
                 nrows[r] = 2 * (1 + -(-(n - L) // step))
         order = sorted(range(B), key=lambda r: (-nrows[r], r))
         loads = [0] * D
@@ -798,7 +984,11 @@ class JaxDemuxEngine:
             max(max(p.R_host for p in plans), 1), lo=8, fine=self.fine_rows
         )
         S_pad = _row_bucket(
-            max(max(p.S for p in plans), 1), lo=8, fine=self.fine_rows
+            max(max(p.F for p in plans), 1), lo=8, fine=self.fine_rows
+        )
+        C_pad = _row_bucket(
+            max(max(len(p.rows_meta) for p in plans), 1),
+            lo=8, fine=self.fine_rows,
         )
         R_total_pad = R_host_pad + S_pad
         if R_total_pad * L >= 2**31:
@@ -809,24 +999,39 @@ class JaxDemuxEngine:
             )
 
         mats = [
-            self._materialize(p, seq_bytes, lens, L, R_host_pad, S_pad)
+            self._materialize(
+                p, seq_bytes, lens, L, R_host_pad, S_pad, C_pad=C_pad
+            )
             for p in plans
         ]
         # pack_mode is static in the jitted step: one shard falling back
         # to nibbles re-packs every shard as nibbles.
-        if len({m[3] for m in mats}) > 1:
+        if len({m.pack_mode for m in mats}) > 1:
             mats = [
                 self._materialize(
-                    p, seq_bytes, lens, L, R_host_pad, S_pad, force_nibble=True
+                    p, seq_bytes, lens, L, R_host_pad, S_pad,
+                    force_nibble=True, C_pad=C_pad,
                 )
                 for p in plans
             ]
-        pack_mode = mats[0][3]
+        pack_mode = mats[0].pack_mode
 
-        metas = [m[5] for m in mats]
-        row_reads = [m[6] for m in mats]
+        metas = [m.meta for m in mats]
+        row_reads = [m.row_read for m in mats]
         # pack-mode-2 shards pad their flat byte buffers to one length
-        t_pad = max(m[0].shape[0] for m in mats) if pack_mode == 2 else 0
+        t_pad = (
+            max(m.host_packed.shape[0] for m in mats) if pack_mode == 2 else 0
+        )
+        # Derived-metadata mode rides the mono blob only: the separate-
+        # uploads debug path shards meta as a 2-D P(READS_AXIS, None)
+        # array, which the 1-D rowdesc doesn't fit.
+        desc = (
+            self.meta_mode == "desc"
+            and pack_mode == 2
+            and self.mono_upload
+            and int(lens.max()) < 1 << 29
+        )
+        extra = {"meta_mode": "desc", "S_pad": S_pad} if desc else None
 
         def put(arr):
             spec = P(READS_AXIS, *([None] * (arr.ndim - 1)))
@@ -840,14 +1045,20 @@ class JaxDemuxEngine:
                 blobs = []
                 spans = None
                 for m in mats:
-                    hp = m[0]
+                    hp = m.host_packed
                     if pack_mode == 2 and hp.shape[0] != t_pad:
                         hp = np.concatenate(
                             [hp, np.zeros(t_pad - hp.shape[0], dtype=np.uint8)]
                         )
-                    blob, spans = comp.build_blob_np(
-                        hp, m[4], comp.pack_meta_np(m[5]), m[2], m[1]
-                    )
+                    if desc:
+                        blob, spans = comp.build_blob_desc_np(
+                            hp, m.rowdesc, m.chunk_meta, m.exc
+                        )
+                    else:
+                        blob, spans = comp.build_blob_np(
+                            hp, m.simple_idx, comp.pack_meta_np(m.meta),
+                            m.exc, m.row_start,
+                        )
                     blobs.append(blob)
                 dev_in = ("mono", put(np.stack(blobs)), spans)
         else:
@@ -855,33 +1066,78 @@ class JaxDemuxEngine:
                 if pack_mode == 2:
                     host_packed_g = np.zeros(D * t_pad, dtype=np.uint8)
                     for d, m in enumerate(mats):
-                        host_packed_g[d * t_pad : d * t_pad + m[0].shape[0]] = m[0]
+                        host_packed_g[
+                            d * t_pad : d * t_pad + m.host_packed.shape[0]
+                        ] = m.host_packed
                 else:
-                    host_packed_g = np.concatenate([m[0] for m in mats], axis=0)
+                    host_packed_g = np.concatenate(
+                        [m.host_packed for m in mats], axis=0
+                    )
                 dev_in = (
                     "multi",
                     put(host_packed_g),
-                    put(np.concatenate([m[4] for m in mats])),
+                    put(np.concatenate([m.simple_idx for m in mats])),
                     put(comp.pack_meta_np(np.concatenate(metas, axis=0))),
-                    put(np.concatenate([m[2] for m in mats], axis=0)),
-                    put(np.concatenate([m[1] for m in mats])),
+                    put(np.concatenate([m.exc for m in mats], axis=0)),
+                    put(np.concatenate([m.row_start for m in mats])),
                 )
 
         packets: List[tuple] = []  # (_GroupPlan, packet) group-major
         overflow_reads: set = set()
-        H_cap = max(R_total_pad, self._h_cap_hint)
+        if self.ends_window:
+            lanes = max(
+                2 * len(b) + 2 * len(p.rows_meta)
+                for b, p in zip(buckets, plans)
+            )
+            H_cap = max(
+                _row_bucket(max(lanes, 1), lo=8, fine=self.fine_rows),
+                self._h_cap_hint,
+            )
+        else:
+            H_cap = max(R_total_pad, self._h_cap_hint)
 
         pending = []
-        for gplan in self.plans:
+        if dev_in[0] == "mono" and len(self.plans) > 1:
+            # Multi-group kits: ONE shard_map'd fused call + ONE fetch
+            # per batch (per-group dispatch/fetch round trips otherwise
+            # — the single-chip design rule, kept on multi-chip).
+            self.last_dispatch = "sharded-fused"
             with _phase("demux_call.dispatch"):
-                out_dev = self._dispatch_group_sharded(
-                    gplan, dev_in, pack_mode, L, step, H_cap
+                all_dev = self._dispatch_all_groups_sharded(
+                    dev_in, pack_mode, L, step, H_cap, extra
                 )
-            pending.append((gplan, out_dev))
+            with _phase("demux_call.fetch"):
+                all_np = np.asarray(all_dev)
+            sizes = [
+                H_cap * self._rec_wire(g, L, R_total_pad)[0]
+                + R_total_pad + 1
+                for g in self.plans
+            ]
+            T = sum(sizes)
+            off = 0
+            for gplan, n_g in zip(self.plans, sizes):
+                g_np = np.concatenate(
+                    [
+                        all_np[d * T + off : d * T + off + n_g]
+                        for d in range(D)
+                    ]
+                )
+                pending.append((gplan, g_np))
+                off += n_g
+        else:
+            for gplan in self.plans:
+                with _phase("demux_call.dispatch"):
+                    out_dev = self._dispatch_group_sharded(
+                        gplan, dev_in, pack_mode, L, step, H_cap, extra
+                    )
+                pending.append((gplan, out_dev))
 
         for gplan, out_dev in pending:
-            with _phase("demux_call.fetch"):
-                out_np = np.asarray(out_dev)
+            if isinstance(out_dev, np.ndarray):
+                out_np = out_dev  # fused path fetched in one transfer
+            else:
+                with _phase("demux_call.fetch"):
+                    out_np = np.asarray(out_dev)
             cap = H_cap
             wcols, wbits = self._rec_wire(gplan, L, R_total_pad)
             per_shard = cap * wcols + R_total_pad + 1
@@ -893,7 +1149,7 @@ class JaxDemuxEngine:
                 self._h_cap_hint = max(self._h_cap_hint, cap)
                 out_np = np.asarray(
                     self._dispatch_group_sharded(
-                        gplan, dev_in, pack_mode, L, step, cap
+                        gplan, dev_in, pack_mode, L, step, cap, extra
                     )
                 )
                 per_shard = cap * wcols + R_total_pad + 1
@@ -925,9 +1181,9 @@ class JaxDemuxEngine:
 
     def _dispatch_group_sharded(
         self, gplan: _GroupPlan, dev_in, pack_mode: int, L: int, step: int,
-        H_cap: int,
+        H_cap: int, extra: Optional[dict] = None,
     ):
-        statics = self._group_statics(gplan, pack_mode, L, step, H_cap)
+        statics = self._group_statics(gplan, pack_mode, L, step, H_cap, extra)
         if dev_in[0] == "mono":
             _, blob_dev, spans = dev_in
             key = ("mono", spans) + tuple(sorted(statics.items()))
@@ -983,6 +1239,31 @@ class JaxDemuxEngine:
         blob = b"".join(seq_bytes[r] for r in simple_reads)
         return blob, offs, ls
 
+    def _entry_blob(self, seq_bytes, plan):
+        """Blob + per-entry (offs, lens) covering host rows [0, F):
+        simple reads whole, then each ends read's prefix/suffix window
+        slices — entry order == host row order, so the native encoders'
+        exception positions (entry * L + col) land on the right rows."""
+        S, E, F = plan.S, plan.E, plan.F
+        W = self.ends_window
+        ls = np.zeros(F, dtype=np.int32)
+        if S:
+            ls[:S] = np.fromiter(
+                (len(seq_bytes[r]) for r in plan.simple_reads),
+                dtype=np.int32, count=S,
+            )
+        if E:
+            ls[S:F] = W
+        offs = np.zeros(F, dtype=np.int64)
+        if F > 1:
+            np.cumsum(ls[:-1], dtype=np.int64, out=offs[1:])
+        parts = [seq_bytes[r] for r in plan.simple_reads]
+        for r in plan.ends_reads:
+            s = seq_bytes[r]
+            parts.append(s[:W])
+            parts.append(s[len(s) - W :])
+        return b"".join(parts), offs, ls
+
     def _pack_host_rows(
         self, seq_bytes, plan, R_host_pad: int, L: int,
         force_nibble: bool = False,
@@ -992,21 +1273,20 @@ class JaxDemuxEngine:
         Preferred form (mode 2): concatenated 2-bit base codes — rows
         pack back to back so neither the 4x nibble blow-up nor row
         padding crosses the ~30MB/s tunnel (reads average ~56% of the
-        padded row width).  Simple reads AND long-read chunk rows both
-        encode natively straight from the raw read bytes
-        (bbio_encode_pack2_cat / bbio_encode_pack2_chunks — the
-        per-read numpy chunk loop was the largest GIL-bound host phase
-        per batch).  N/IUPAC/junk bytes ride an exception list the
-        device applies after scattering rows into the padded layout.
-        Batches with more than _EXC_CAP exceptional bytes, or hosts
-        without the native extension, fall back to nibble rows
+        padded row width).  Simple reads, ends-mode end windows AND
+        long-read chunk rows all encode natively straight from the raw
+        read bytes (bbio_encode_pack2_cat / bbio_encode_pack2_chunks —
+        the per-read numpy chunk loop was the largest GIL-bound host
+        phase per batch).  N/IUPAC/junk bytes ride an exception list
+        the device applies after scattering rows into the padded
+        layout.  Batches with more than _EXC_CAP exceptional bytes, or
+        hosts without the native extension, fall back to nibble rows
         (mode 0)."""
         import ctypes
 
         from ..native import get_lib
 
-        simple_reads = plan.simple_reads
-        S = len(simple_reads)
+        S, F = plan.S, plan.F
         n_chunks = len(plan.rows_meta)
         lib = get_lib()
         mode_override = _os.environ.get("BARBELL_PACK_MODE")
@@ -1033,7 +1313,7 @@ class JaxDemuxEngine:
                         (m.strand is Strand.Rc for m in rm), dtype=np.uint8,
                         count=n_chunks,
                     ),
-                    (np.arange(n_chunks, dtype=np.int64) + S) * L,
+                    (np.arange(n_chunks, dtype=np.int64) + F) * L,
                 )
             blob_l, offs_l, ls_l, row_rd, row_off, row_rc, row_base = chunk
             return lib.bbio_encode_pack2_chunks(
@@ -1070,13 +1350,13 @@ class JaxDemuxEngine:
             exc[:, 0] = R_host_pad * L
             total_exc = 0
             ok = True
-            if S:
-                blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
+            if F:
+                blob, offs, ls = self._entry_blob(seq_bytes, plan)
                 total_exc = lib.bbio_encode_pack2_rows(
                     blob,
                     offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                     ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                    S,
+                    F,
                     L,
                     dna.CODE2_LUT.tobytes(),
                     dna.ENCODE_LUT.tobytes(),
@@ -1086,7 +1366,7 @@ class JaxDemuxEngine:
                 )
                 ok = total_exc <= _EXC_CAP
             if ok and n_chunks:
-                row_out = (np.arange(n_chunks, dtype=np.int64) + S) * (L // 4)
+                row_out = (np.arange(n_chunks, dtype=np.int64) + F) * (L // 4)
                 total_exc = encode_chunks(packed2, row_out, total_exc, exc)
                 ok = total_exc <= _EXC_CAP
             if ok:
@@ -1094,20 +1374,23 @@ class JaxDemuxEngine:
         if lib is not None and not force_nibble and mode_override != "0":
             nb = np.zeros(R_host_pad, dtype=np.int64)
             blob = offs = ls = None
-            if S:
+            if F:
                 # hoisted: also feeds the byte counts below, vectorized
                 # (a per-simple-read Python loop here is ~1-2ms of GIL
                 # time per batch on the hot path)
-                blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
-                nb[:S] = (ls.astype(np.int64) + 3) // 4
+                blob, offs, ls = self._entry_blob(seq_bytes, plan)
+                nb[:F] = (ls.astype(np.int64) + 3) // 4
             if n_chunks:
-                nb[S : S + n_chunks] = (chunk_lens.astype(np.int64) + 3) // 4
-            # 128-byte-aligned row starts (~+11% wire) let the device
-            # scatter rows with a cheap SLICE gather instead of the
-            # per-element take (see composite._assemble_rows2cat); the
-            # buffer keeps >= L/4 slack past the last row because every
-            # device-side row read spans a full L/4 bytes.
-            stride = (nb + 127) // 128 * 128
+                nb[F : F + n_chunks] = (chunk_lens.astype(np.int64) + 3) // 4
+            # Aligned row starts (cat_align bytes; ~+11% wire at 128)
+            # let the device scatter rows with a cheap SLICE gather
+            # instead of the per-element take (see
+            # composite._assemble_rows2cat); the buffer keeps >= L/4
+            # slack past the last row because every device-side row
+            # read spans a full L/4 bytes.  meta_mode='desc' re-derives
+            # these starts on device — same formula, keep in sync.
+            A = self.cat_align
+            stride = (nb + (A - 1)) // A * A
             starts = np.zeros(R_host_pad, dtype=np.int64)
             np.cumsum(stride[:-1], out=starts[1:])
             total = int(starts[-1] + nb[-1]) + L
@@ -1120,13 +1403,13 @@ class JaxDemuxEngine:
             exc[:, 0] = R_host_pad * L
             total_exc = 0
             ok = True
-            if S:
+            if F:
                 total_exc = lib.bbio_encode_pack2_cat(
                     blob,
                     offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                     ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                     starts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-                    S,
+                    F,
                     L,
                     dna.CODE2_LUT.tobytes(),
                     dna.ENCODE_LUT.tobytes(),
@@ -1137,7 +1420,7 @@ class JaxDemuxEngine:
                 ok = total_exc <= _EXC_CAP
             if ok and n_chunks:
                 total_exc = encode_chunks(
-                    flat, starts[S : S + n_chunks], total_exc, exc
+                    flat, starts[F : F + n_chunks], total_exc, exc
                 )
                 ok = total_exc <= _EXC_CAP
             if ok:
@@ -1148,33 +1431,55 @@ class JaxDemuxEngine:
             self._long_content(plan, seq_bytes) if n_chunks else []
         )
         packed = np.zeros((R_host_pad, L // 2), dtype=np.uint8)
-        if S and lib is not None:
-            blob, offs, ls = self._simple_blob(seq_bytes, simple_reads)
+        if F and lib is not None:
+            blob, offs, ls = self._entry_blob(seq_bytes, plan)
             lib.bbio_encode_pack_rows(
                 blob,
                 offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                 ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                S,
+                F,
                 L,
                 dna.ENCODE_LUT.tobytes(),
                 packed.ctypes.data_as(ctypes.c_char_p),
             )
-        elif S:
-            rows = np.zeros((S, L), dtype=np.uint8)
-            for i, r in enumerate(simple_reads):
-                e = dna.encode(seq_bytes[r])
+        elif F:
+            W = self.ends_window
+            entries = [seq_bytes[r] for r in plan.simple_reads]
+            for r in plan.ends_reads:
+                s = seq_bytes[r]
+                entries.append(s[:W])
+                entries.append(s[len(s) - W :])
+            rows = np.zeros((F, L), dtype=np.uint8)
+            for i, sb in enumerate(entries):
+                e = dna.encode(sb)
                 rows[i, : len(e)] = e
-            packed[:S] = comp.pack_rows_np(rows)
+            packed[:F] = comp.pack_rows_np(rows)
         if long_content:
             rows = np.zeros((len(long_content), L), dtype=np.uint8)
             for i, content in enumerate(long_content):
                 rows[i, : len(content)] = content
-            packed[S : S + len(long_content)] = comp.pack_rows_np(rows)
+            packed[F : F + len(long_content)] = comp.pack_rows_np(rows)
         return (
             packed,
             np.zeros(R_host_pad, dtype=np.int32),
             np.zeros((1, 2), dtype=np.int32),
             0,
+        )
+
+    def _h_cap(self, B: int, plan, R_total_pad: int) -> int:
+        """Initial hit-lane capacity.  Full scan: R_total_pad (>= 1
+        lane/row, ~2/read — the round-1 heuristic).  Ends mode:
+        R_total_pad counts FOUR rows per ends read, but raw hit density
+        is per READ, not per row — lanes stay sized at ~2/read (+2 per
+        chunk row) so the fetch doesn't double with the row count.  The
+        sticky overflow hint still lifts hit-dense workloads once per
+        process."""
+        if not self.ends_window:
+            return max(R_total_pad, self._h_cap_hint)
+        lanes = 2 * B + 2 * len(plan.rows_meta)
+        return max(
+            _row_bucket(max(lanes, 1), lo=8, fine=self.fine_rows),
+            self._h_cap_hint,
         )
 
     def _group_scalars(self, gplan: _GroupPlan, step: int):
@@ -1215,10 +1520,10 @@ class JaxDemuxEngine:
 
     def _group_statics(
         self, gplan: _GroupPlan, pack_mode: int, L: int, step: int,
-        H_cap: int,
+        H_cap: int, extra: Optional[dict] = None,
     ) -> dict:
         gi, gf = self._group_scalars(gplan, step)
-        return dict(
+        d = dict(
             gi=gi,
             gf=gf,
             K=self.K,
@@ -1236,41 +1541,94 @@ class JaxDemuxEngine:
             interpret=self._on_cpu,
             pack_mode=pack_mode,
             L_rows=L,
+            ends_w=self.ends_window,
+            halo=self.halo,
+            cat_align=self.cat_align,
+            meta_mode="wire",
+            S_pad=0,
         )
+        if extra:
+            d.update(extra)
+        return d
 
-    def _dispatch_all_groups(
-        self, dev_in, pack_mode: int, L: int, step: int, H_cap: int
+    def _fused_statics(
+        self, pack_mode: int, L: int, step: int, H_cap: int,
+        extra: Optional[dict] = None,
     ):
-        """ONE device call covering every group on the mono blob (a
-        dispatch + fetch round trip per group per batch otherwise)."""
-        _, blob_dev, spans = dev_in
+        """(group_statics, common) static tuples for the fused
+        all-groups call (single-chip demux_call_fused and the sharded
+        step share this layout)."""
         common = dict(
             K=self.K, H_cap=H_cap, padding=PADDING,
             use_pallas=self.use_pallas, interpret=self._on_cpu,
             pack_mode=pack_mode, L_rows=L,
+            ends_w=self.ends_window, halo=self.halo,
+            cat_align=self.cat_align, meta_mode="wire", S_pad=0,
         )
+        if extra:
+            common.update(extra)
         group_statics = []
         for gplan in self.plans:
-            st = self._group_statics(gplan, pack_mode, L, step, H_cap)
+            st = self._group_statics(gplan, pack_mode, L, step, H_cap, extra)
             group_statics.append(
                 tuple(sorted((k, v) for k, v in st.items() if k not in common))
             )
+        return tuple(group_statics), tuple(sorted(common.items()))
+
+    def _group_args(self):
+        return tuple(
+            (g.flank_dev, g.patw_dev, g.patterns_all_dev)
+            for g in self.plans
+        )
+
+    def _dispatch_all_groups(
+        self, dev_in, pack_mode: int, L: int, step: int, H_cap: int,
+        extra: Optional[dict] = None,
+    ):
+        """ONE device call covering every group on the mono blob (a
+        dispatch + fetch round trip per group per batch otherwise)."""
+        _, blob_dev, spans = dev_in
+        group_statics, common = self._fused_statics(
+            pack_mode, L, step, H_cap, extra
+        )
         return comp.demux_call_fused(
-            tuple(
-                (g.flank_dev, g.patw_dev, g.patterns_all_dev)
-                for g in self.plans
-            ),
+            self._group_args(),
             blob_dev,
             spans=spans,
-            group_statics=tuple(group_statics),
-            common=tuple(sorted(common.items())),
+            group_statics=group_statics,
+            common=common,
         )
+
+    def _dispatch_all_groups_sharded(
+        self, dev_in, pack_mode: int, L: int, step: int, H_cap: int,
+        extra: Optional[dict] = None,
+    ):
+        """The sharded form of :meth:`_dispatch_all_groups`: every
+        group's fused call in ONE shard_map'd step on the [D, blob]
+        upload, so multi-group kits pay one dispatch + fetch per batch
+        on multi-chip exactly as they do single-chip."""
+        _, blob_dev, spans = dev_in
+        group_statics, common = self._fused_statics(
+            pack_mode, L, step, H_cap, extra
+        )
+        key = ("fused", spans, group_statics, common)
+        sstep = self._sharded_steps.get(key)
+        if sstep is None:
+            from ..parallel.mesh import sharded_demux_step_fused
+
+            sstep = sharded_demux_step_fused(
+                self.mesh, spans=spans, group_statics=group_statics,
+                common=common,
+            )
+            self._sharded_steps[key] = sstep
+        out, _global_hits = sstep(self._group_args(), blob_dev)
+        return out
 
     def _dispatch_group(
         self, gplan: _GroupPlan, dev_in, pack_mode: int, L: int, step: int,
-        H_cap: int,
+        H_cap: int, extra: Optional[dict] = None,
     ):
-        statics = self._group_statics(gplan, pack_mode, L, step, H_cap)
+        statics = self._group_statics(gplan, pack_mode, L, step, H_cap, extra)
         if dev_in[0] == "mono":
             _, blob_dev, spans = dev_in
             return comp.demux_call_mono(

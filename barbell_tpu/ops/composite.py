@@ -160,28 +160,37 @@ def _assemble_rows(host_packed, simple_idx):
     return jax.lax.optimization_barrier(rows)
 
 
-def _assemble_rows2cat(flat_codes, row_start, exc, hlen, simple_idx, L):
+def _assemble_rows2cat(
+    flat_codes, row_start, exc, hlen, simple_idx, L,
+    align: int = 128, twin_slice: int = -1,
+):
     """Concatenated 2-bit variant: rows pack back to back in one flat
     byte buffer (no padding on the wire — reads average ~56% of the
     padded row width); the device scatters each row's ceil(len/4) code
     bytes into the padded layout, then proceeds as _assemble_rows2.
 
-    Row starts are 128-byte aligned by the host packer, so the gather
-    runs over whole 128-byte slabs — the per-element ``jnp.take``
-    formulation was the single most expensive op in the fused call
-    (~17ms per 2048-read batch on hardware).  One (1, 128) slab per
-    index (row r's slabs are ``row_start[r]//128 + [0, Q/128)``) keeps
-    XLA on the vectorized row-gather path; a single (Q/128, 128) slice
-    per row lowered to a sequential 2048-iteration while loop of
-    dynamic-slices (~4ms/batch in the device trace).  Small row widths
-    (Q % 128 != 0, tests only) keep the element gather."""
+    Row starts are ``align``-byte aligned by the host packer, so the
+    gather runs over whole align-byte slabs — the per-element
+    ``jnp.take`` formulation was the single most expensive op in the
+    fused call (~17ms per 2048-read batch on hardware).  One (1, align)
+    slab per index (row r's slabs are ``row_start[r]//align +
+    [0, Q/align)``) keeps XLA on the vectorized row-gather path; a
+    single (Q/align, align) slice per row lowered to a sequential
+    2048-iteration while loop of dynamic-slices (~4ms/batch in the
+    device trace).  Small row widths (Q % align != 0, tests only) keep
+    the element gather.
+
+    ``twin_slice >= 0`` (meta_mode='desc') builds the rc twin block as
+    a flip+complement of host rows ``[0, twin_slice)`` — a static
+    SLICE, no ``simple_idx`` gather (the descriptor layout makes the
+    twin map the identity)."""
     R0 = row_start.shape[0]
     Q = L // 4
-    if Q % 128 == 0:
-        flat2 = flat_codes.reshape(-1, 128)
+    if Q % align == 0:
+        flat2 = flat_codes.reshape(-1, align)
         slab_idx = (
-            (row_start // 128)[:, None]
-            + jnp.arange(Q // 128, dtype=jnp.int32)[None, :]
+            (row_start // align)[:, None]
+            + jnp.arange(Q // align, dtype=jnp.int32)[None, :]
         ).reshape(-1)
         slab_idx = jnp.clip(slab_idx, 0, flat2.shape[0] - 1)
         b = (
@@ -204,7 +213,10 @@ def _assemble_rows2cat(flat_codes, row_start, exc, hlen, simple_idx, L):
     flat = masks.reshape(-1)
     flat = flat.at[exc[:, 0]].set(exc[:, 1].astype(jnp.uint8), mode="drop")
     host_rows = flat.reshape(R0, L)
-    rc_simple = _complement_masks(host_rows[simple_idx][:, ::-1])
+    if twin_slice >= 0:
+        rc_simple = _complement_masks(host_rows[:twin_slice, ::-1])
+    else:
+        rc_simple = _complement_masks(host_rows[simple_idx][:, ::-1])
     rows = jnp.concatenate([host_rows, rc_simple], axis=0)
     return jax.lax.optimization_barrier(rows)
 
@@ -430,9 +442,13 @@ def unpack_rec_np(flat, cap, wbits):
     return rec
 
 # Column layout of the per-row metadata matrix demux_call consumes.
-META_COLS = 12
+# M_ENDS marks ends-only fast-path rows (SURVEY §5.7): the row holds one
+# END WINDOW of a long read (prefix [0, W) or suffix [n-W, n)) and its
+# barcode-window gather selects prefix vs suffix cover row by
+# ``bstart >= n - ends_w`` instead of the chunk ``bstart // step`` rule.
+META_COLS = 13
 (M_TSC, M_TEC, M_TSTART, M_TEND, M_LO, M_HI, M_OFF, M_N, M_ISRC,
- M_FSIMPLE, M_BASEROW, M_NCHUNKS) = range(META_COLS)
+ M_FSIMPLE, M_BASEROW, M_NCHUNKS, M_ENDS) = range(META_COLS)
 
 # Wire layout: the 12 logical columns ship as 6 int32 lanes (halves the
 # per-batch metadata upload on the ~30-50MB/s tunnel).  Bit budget:
@@ -464,15 +480,17 @@ def pack_meta_np(meta) -> np.ndarray:
         raise ValueError("baserow exceeds the 16-bit meta wire field")
     if nch.min(initial=0) < 0 or nch.max(initial=0) >= 1 << 15:
         raise ValueError("nchunks exceeds the 15-bit meta wire field")
-    out = np.empty((m.shape[0], META_WIRE_COLS), dtype=np.int32)
-    out[:, 0] = tsc | (tec << 16)
-    out[:, 1] = (
+    lane1 = (
         lo
         | ((m[:, M_TSTART] != 0) << 14)
         | ((m[:, M_TEND] != 0) << 15)
         | ((hi + 1) << 16)
         | ((m[:, M_ISRC] != 0) << 30)
+        | ((m[:, M_ENDS] != 0).astype(np.int64) << 31)
     )
+    out = np.empty((m.shape[0], META_WIRE_COLS), dtype=np.int32)
+    out[:, 0] = tsc | (tec << 16)
+    out[:, 1] = (lane1 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     out[:, 2] = m[:, M_OFF]
     out[:, 3] = m[:, M_N]
     out[:, 4] = m[:, M_FSIMPLE]
@@ -480,8 +498,13 @@ def pack_meta_np(meta) -> np.ndarray:
     return out
 
 
-def _unpack_meta(meta):
-    """Device-side inverse of :func:`pack_meta_np` -> [R, META_COLS]."""
+def _unpack_meta(meta, with_ends: bool = False):
+    """Device-side inverse of :func:`pack_meta_np` -> [R, META_COLS].
+
+    ``with_ends=False`` (the default full-scan path) returns only the
+    first 12 columns — the extra M_ENDS column would change the traced
+    HLO (and hence the persistent compile-cache keys) of every existing
+    executable for a bit it never reads."""
     c0, c1, c5 = meta[:, 0], meta[:, 1], meta[:, 5]
     cols = [None] * META_COLS
     cols[M_TSC] = c0 & 0xFFFF
@@ -496,13 +519,120 @@ def _unpack_meta(meta):
     cols[M_FSIMPLE] = meta[:, 4]
     cols[M_BASEROW] = c5 & 0xFFFF
     cols[M_NCHUNKS] = c5 >> 16
+    cols[M_ENDS] = (c1 >> 31) & 1  # sign bit: arithmetic shift, & 1 ok
+    if not with_ends:
+        cols = cols[:M_ENDS]
     return jnp.stack(cols, axis=1)
+
+
+def _derive_meta(
+    rowdesc, chunk_meta, S_pad: int, L: int, ends_w: int, halo: int,
+    padding: int, with_ends: bool,
+):
+    """Device-side metadata synthesis from the 4-byte/row descriptor
+    (``meta_mode='desc'``): full per-row metadata never crosses the
+    wire — it is a pure function of (read length, row type, W, L).
+
+    ``rowdesc`` is int32 per HOST row, low 2 bits a type tag, the rest
+    the payload:
+
+    * tag 0: simple forward read, payload = read length ``n`` (0 for
+      padding rows -> invalid)
+    * tag 1: ends-mode PREFIX row of a long read, payload = ``n``
+    * tag 2: ends-mode SUFFIX row (always immediately after its prefix
+      row), payload = ``n``
+    * tag 3: long-read chunk row, payload = index into ``chunk_meta``
+      (a [C_pad, META_WIRE_COLS] pack_meta_np table for just the chunk
+      rows — the only rows whose metadata is not length-derivable)
+
+    Rows ``[R_host_pad, R_host_pad + S_pad)`` are the on-device
+    flip+complement twins of host rows ``[0, S_pad)``: a tag-0 twin is
+    the classic rc simple row, a tag-1 twin is the RC SUFFIX window
+    (flip of the forward prefix), a tag-2 twin the RC PREFIX window,
+    and a tag-3 twin (a chunk row that happened to fall below S_pad)
+    is marked invalid — chunk rows ship both strands from the host.
+    Returns the same [R_total, META_COLS(12/13)] matrix
+    :func:`_unpack_meta` would."""
+    R_host_pad = rowdesc.shape[0]
+    tag = rowdesc & 3
+    n = rowdesc >> 2  # rowdesc >= 0: arithmetic shift is logical here
+    W = jnp.int32(ends_w)
+    rowid = jnp.arange(R_host_pad, dtype=jnp.int32)
+    cm = _unpack_meta(chunk_meta, with_ends=with_ends)
+    ci = jnp.clip(n, 0, chunk_meta.shape[0] - 1)
+
+    def build(block_tag, block_n, block_row, twin: bool):
+        is_simple = block_tag == 0
+        is_pre = block_tag == 1
+        is_suf = block_tag == 2
+        is_chunk = block_tag == 3
+        is_ends = is_pre | is_suf
+        valid = block_n > 0
+        if twin:
+            valid = valid & ~is_chunk
+        z = jnp.zeros_like(block_n)
+        if not twin:
+            tsc = z
+            tec = jnp.where(is_simple, block_n, W)
+            ts = is_simple | is_pre
+            te = is_simple | is_suf
+            lo = jnp.where(is_suf, halo + 1, 0)
+            hi = jnp.where(
+                is_simple, block_n, jnp.where(is_pre, W - 1 - padding, W)
+            )
+            off = jnp.where(is_suf, block_n - W, 0)
+            isrc = z
+        else:
+            # flip of the corresponding host row, right-aligned at L
+            tsc = jnp.where(is_simple, L - block_n, L - W)
+            tec = jnp.full_like(block_n, L)
+            ts = is_simple | is_suf  # tag-2 flip = rc PREFIX
+            te = is_simple | is_pre  # tag-1 flip = rc SUFFIX
+            lo = jnp.where(is_pre, L - W + halo + 1, tsc)
+            hi = jnp.where(is_suf, L - 1 - padding, L)
+            off = jnp.where(is_pre, block_n - W, 0)
+            isrc = jnp.ones_like(block_n)
+        # ends rows: prefix host row p, suffix p+1; the barcode-window
+        # cover base must be p for both (frow = baserow + suffix?1:0),
+        # and for twins the cover rows are the FORWARD host rows.
+        base = jnp.where(is_suf, block_row - 1, block_row)
+        fsimple = jnp.where(is_simple, block_row, -1)
+        cols = [None] * META_COLS
+        cols[M_TSC] = tsc
+        cols[M_TEC] = jnp.where(valid, tec, 0)
+        cols[M_TSTART] = (ts & valid).astype(jnp.int32)
+        cols[M_TEND] = (te & valid).astype(jnp.int32)
+        cols[M_LO] = jnp.where(valid, lo, 0)
+        cols[M_HI] = jnp.where(valid, hi, -1)
+        cols[M_OFF] = jnp.where(valid, off, 0)
+        cols[M_N] = block_n
+        cols[M_ISRC] = isrc
+        cols[M_FSIMPLE] = fsimple
+        cols[M_BASEROW] = jnp.where(valid, base, 0)
+        cols[M_NCHUNKS] = jnp.where(is_ends, 2, 1)
+        cols[M_ENDS] = (is_ends & valid).astype(jnp.int32)
+        out = jnp.stack(
+            cols[: META_COLS if with_ends else M_ENDS], axis=1
+        ).astype(jnp.int32)
+        if not twin:
+            # splice real chunk metadata over tag-3 host rows
+            out = jnp.where(
+                is_chunk[:, None],
+                jnp.take(cm, ci, axis=0, mode="clip"),
+                out,
+            )
+        return out
+
+    host = build(tag, n, rowid, twin=False)
+    twin = build(tag[:S_pad], n[:S_pad], rowid[:S_pad], twin=True)
+    return jnp.concatenate([host, twin], axis=0)
 
 
 _DEMUX_STATICS = (
     "gi", "gf", "K", "m", "k_units", "W_words", "top_bit", "Wf",
     "plen", "Wb", "P", "H_cap", "padding", "use_pallas", "interpret",
-    "pack_mode", "L_rows", "_stages",
+    "pack_mode", "L_rows", "ends_w", "halo", "meta_mode", "S_pad",
+    "cat_align", "_stages",
 )
 
 
@@ -537,6 +667,11 @@ def demux_call(
     interpret: bool,
     pack_mode: int = 0,  # 0 nibble, 1 = 2-bit padded, 2 = 2-bit concatenated
     L_rows: int = 0,  # row width (pack_mode 2; other modes derive it)
+    ends_w: int = 0,  # ends-only fast path: end-window width (0 = full scan)
+    halo: int = 0,  # flank halo (meta_mode='desc' derivation)
+    meta_mode: str = "wire",  # 'wire' = uploaded meta; 'desc' = derived
+    S_pad: int = 0,  # twin-block rows (meta_mode='desc')
+    cat_align: int = 128,  # cat-row byte alignment (pack_mode 2)
     _stages: int = 4,  # debug: 1=scan, 2=+trace, 3=+rank1, 4=full
 ):
     """The full demux pipeline for one (group, batch) in ONE device call.
@@ -553,25 +688,54 @@ def demux_call(
     barcode_rank (conformance-tested); the only difference is that both
     strands run through one barcode-rank pass over the concatenated
     [fwd; rc] pattern stack with a per-lane strand mask.
+
+    ``meta_mode='desc'`` (pack_mode 2 only) replaces the per-row
+    metadata upload with a 4-byte/row descriptor: the ``meta`` argument
+    carries the int32 rowdesc vector, ``simple_idx`` carries the packed
+    chunk-row metadata table, ``row_start`` is ignored (byte starts are
+    re-derived on device with the same cumsum the host packer used) and
+    the rc twin block is a slice-flip of host rows [0, S_pad).
     """
     (alpha_scaled, mask_a, mask_b, k1_scaled, iv_a, iv_b, step) = (
         jnp.int32(v) for v in gi
     )
     perfect, min_score, min_score_diff = (jnp.float32(v) for v in gf)
-    meta = _unpack_meta(meta)
 
-    if pack_mode == 2:
+    if meta_mode == "desc":
+        if pack_mode != 2:
+            raise ValueError("meta_mode='desc' requires pack_mode 2")
+        rowdesc, chunk_meta = meta, simple_idx
+        meta = _derive_meta(
+            rowdesc, chunk_meta, S_pad, L_rows, ends_w, halo, padding,
+            with_ends=ends_w > 0,
+        )
+        R_host = rowdesc.shape[0]
+        hlen = meta[:R_host, M_TEC]
+        nb = (hlen + 3) >> 2
+        stride = (nb + (cat_align - 1)) // cat_align * cat_align
+        row_start = jnp.concatenate(
+            [jnp.zeros(1, dtype=jnp.int32),
+             jnp.cumsum(stride[:-1], dtype=jnp.int32)]
+        )
+        rows = _assemble_rows2cat(
+            host_packed, row_start, exc, hlen, None, L_rows,
+            align=cat_align, twin_slice=S_pad,
+        )
+    elif pack_mode == 2:
+        meta = _unpack_meta(meta, with_ends=ends_w > 0)
         R_host = row_start.shape[0]
         rows = _assemble_rows2cat(
             host_packed, row_start, exc, meta[:R_host, M_TEC], simple_idx,
-            L_rows,
+            L_rows, align=cat_align,
         )
     elif pack_mode == 1:
+        meta = _unpack_meta(meta, with_ends=ends_w > 0)
         R_host = host_packed.shape[0]
         rows = _assemble_rows2(
             host_packed, exc, meta[:R_host, M_TEC], simple_idx
         )
     else:
+        meta = _unpack_meta(meta, with_ends=ends_w > 0)
         rows = _assemble_rows(host_packed, simple_idx)
     R, L = rows.shape
     L_key = L + 2
@@ -704,9 +868,21 @@ def demux_call(
         0,
         jnp.maximum(hm[:, M_NCHUNKS] - 1, 0),
     )
+    foff = jnp.where(simple, 0, k_idx * step)
+    if ends_w:
+        # Ends rows: the forward cover rows are baserow (prefix, text
+        # offset 0) and baserow+1 (suffix, offset n - W).  Prefix
+        # windows end before W - PADDING < n - W and suffix windows
+        # start past offset + 3 > n - W (valid-range margins), so the
+        # window's home row is decided by ``bstart >= n - W`` alone.
+        is_ends = hm[:, M_ENDS] != 0
+        suf = is_ends & (bstart >= h_n - ends_w)
+        k_idx = jnp.where(is_ends, suf.astype(jnp.int32), k_idx)
+        foff = jnp.where(
+            is_ends, jnp.where(suf, h_n - ends_w, 0), foff
+        )
     frow = jnp.where(simple, hm[:, M_FSIMPLE], hm[:, M_BASEROW] + k_idx)
     frow = jnp.clip(frow, 0, R - 1)
-    foff = jnp.where(simple, 0, k_idx * step)
     b_startw = jnp.maximum(bstart - foff, 0)
     b_len = jnp.where(has2, bend - bstart, 0)
 
@@ -858,6 +1034,24 @@ def demux_call(
     )
 
 
+def _call_from_parts(flank, patw, patterns_all, parts, **statics):
+    """demux_call on named blob segments — maps both the classic
+    ('simple_idx'/'meta'/'row_start') and the descriptor
+    ('rowdesc'/'chunk_meta') layouts onto the positional signature."""
+    if "rowdesc" in parts:
+        dummy = jnp.zeros(1, dtype=jnp.int32)
+        return demux_call.__wrapped__(
+            flank, patw, patterns_all, parts["host_packed"],
+            parts["chunk_meta"], parts["rowdesc"], parts["exc"], dummy,
+            **statics,
+        )
+    return demux_call.__wrapped__(
+        flank, patw, patterns_all, parts["host_packed"],
+        parts["simple_idx"], parts["meta"], parts["exc"],
+        parts["row_start"], **statics,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("spans",) + _DEMUX_STATICS)
 def demux_call_mono(flank, patw, patterns_all, blob, *, spans, **statics):
     """demux_call with every per-batch host array riding ONE uint8
@@ -868,11 +1062,7 @@ def demux_call_mono(flank, patw, patterns_all, blob, *, spans, **statics):
     bitcast on device (little-endian on every supported backend —
     row-identity on hardware is covered by tests/test_tpu_smoke.py)."""
     parts = _blob_parts(blob, spans)
-    return demux_call.__wrapped__(
-        flank, patw, patterns_all, parts["host_packed"],
-        parts["simple_idx"], parts["meta"], parts["exc"],
-        parts["row_start"], **statics,
-    )
+    return _call_from_parts(flank, patw, patterns_all, parts, **statics)
 
 
 def _blob_parts(blob, spans):
@@ -908,10 +1098,8 @@ def demux_call_fused(group_args, blob, *, spans, group_statics, common):
     outs = []
     for (flank, patw, patterns_all), st in zip(group_args, group_statics):
         outs.append(
-            demux_call.__wrapped__(
-                flank, patw, patterns_all, parts["host_packed"],
-                parts["simple_idx"], parts["meta"], parts["exc"],
-                parts["row_start"], **dict(st), **dict(common),
+            _call_from_parts(
+                flank, patw, patterns_all, parts, **dict(st), **dict(common)
             )
         )
     return jnp.concatenate(outs)
@@ -919,13 +1107,30 @@ def demux_call_fused(group_args, blob, *, spans, group_statics, common):
 
 def build_blob_np(host_packed, simple_idx, meta_packed, exc, row_start):
     """(blob uint8, spans) — host side of demux_call_mono's layout."""
-    segs = [
+    return build_blob_named(
         ("host_packed", np.ascontiguousarray(host_packed, dtype=np.uint8)),
         ("simple_idx", np.ascontiguousarray(simple_idx, dtype=np.int32)),
         ("meta", np.ascontiguousarray(meta_packed, dtype=np.int32)),
         ("exc", np.ascontiguousarray(exc, dtype=np.int32)),
         ("row_start", np.ascontiguousarray(row_start, dtype=np.int32)),
-    ]
+    )
+
+
+def build_blob_desc_np(host_packed, rowdesc, chunk_meta_packed, exc):
+    """(blob uint8, spans) — the meta_mode='desc' mono layout: content
+    bytes + 4-byte/row descriptor + chunk-meta table + exceptions (no
+    simple_idx / full meta / row_start — all device-derived)."""
+    return build_blob_named(
+        ("host_packed", np.ascontiguousarray(host_packed, dtype=np.uint8)),
+        ("rowdesc", np.ascontiguousarray(rowdesc, dtype=np.int32)),
+        ("chunk_meta", np.ascontiguousarray(chunk_meta_packed, dtype=np.int32)),
+        ("exc", np.ascontiguousarray(exc, dtype=np.int32)),
+    )
+
+
+def build_blob_named(*segs):
+    """(blob uint8, spans) from (name, np array) segments; int32
+    segments 4-byte aligned for the device bitcast."""
     spans = []
     off = 0
     chunks = []

@@ -20,6 +20,8 @@ import os
 import random
 from typing import List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from ..kits.database import RBK4_FRONT, RBK4_REAR
 from ..utils import dna
 
@@ -62,6 +64,48 @@ def mutate_sequence(
         elif op == 2:
             s.insert(idx, rng.choice(b"ACGT"))
     return bytes(s)
+
+
+def noise_sequence(rng: random.Random, seq: bytes, error_rate: float) -> bytes:
+    """Per-base error model at realistic Nanopore rates: every base
+    independently suffers an error with probability ``error_rate``,
+    split 50% substitution / 25% insertion / 25% deletion — the
+    documented R10.4 simplex regime is ~5-8% mixed errors.  The
+    reference's mutator (`benchmarks/src/simulations/mutate.rs:5-31`)
+    draws a bounded COUNT of edits instead, which cannot express a
+    per-base rate on variable-length reads; this generator exists for
+    the `rbk114_96_noisy` bench config and the elevated-noise accuracy
+    contract.  Vectorized (numpy): a python per-base loop costs ~15s
+    per 16k-read dataset on the 1-core bench host."""
+    if not seq or error_rate <= 0.0:
+        return seq
+    a = np.frombuffer(seq, dtype=np.uint8)
+    n = a.size
+    gen = np.random.default_rng(rng.getrandbits(64))
+    r = gen.random(n)
+    is_err = r < error_rate
+    kind = gen.random(n)  # <.5 sub, <.75 ins (after base), else del
+    is_sub = is_err & (kind < 0.5)
+    is_ins = is_err & (kind >= 0.5) & (kind < 0.75)
+    is_del = is_err & (kind >= 0.75)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # substitutions: shift to a uniformly random DIFFERENT base
+    idx = np.searchsorted(bases, a)  # ACGT are sorted byte values
+    idx = np.clip(idx, 0, 3)
+    known = bases[idx] == a  # leave N/IUPAC bytes alone
+    sub_idx = (idx + gen.integers(1, 4, size=n)) % 4
+    out = np.where(is_sub & known, bases[sub_idx], a)
+    # repeat counts: 0 = deleted, 2 = kept + inserted base after
+    counts = np.ones(n, dtype=np.int64)
+    counts[is_del] = 0
+    counts[is_ins] = 2
+    rep = np.repeat(out, counts)
+    if is_ins.any():
+        # positions of the inserted copies within the repeated array
+        ends = np.cumsum(counts)
+        ins_pos = ends[is_ins] - 1
+        rep[ins_pos] = bases[gen.integers(0, 4, size=ins_pos.size)]
+    return rep.tobytes()
 
 
 def random_trim_side(

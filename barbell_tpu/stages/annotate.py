@@ -36,6 +36,11 @@ class AnnotateConfig:
     # Multi-host record striping: (rank, world) — this process handles
     # records with stream_index %% world == rank.
     shard: Optional[tuple] = None
+    # Ends-only fast path (SURVEY §5.7): reads longer than 2W ship only
+    # their first/last W bases; mid-read hits are not scanned.  None =
+    # whole-read scan (the reference-parity default for annotate); the
+    # kit runner derives W from its preset patterns.
+    ends_window: Optional[int] = None
 
 
 def _apply_flank_threshold(groups: Sequence[BarcodeGroup], config: AnnotateConfig):
@@ -60,6 +65,7 @@ def _make_engine(groups: Sequence[BarcodeGroup], config: AnnotateConfig):
                 alpha=config.alpha,
                 min_score=config.min_score,
                 min_score_diff=config.min_score_diff,
+                ends_window=config.ends_window,
             )
         except Exception as exc:  # pragma: no cover - fallback path
             print(f"Device pipeline unavailable ({exc}); falling back to oracle engine")
@@ -72,6 +78,7 @@ def _make_engine(groups: Sequence[BarcodeGroup], config: AnnotateConfig):
             alpha=config.alpha,
             min_score=config.min_score,
             min_score_diff=config.min_score_diff,
+            ends_window=config.ends_window,
         )
     if backend == "oracle":
         return _OracleEngine(groups, config)

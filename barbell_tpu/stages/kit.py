@@ -41,6 +41,75 @@ class KitRunConfig:
     # byte-identical stage files).  Verbose runs use the staged path so
     # the per-stage `{step}.{ms}.log` files keep their contract.
     stream: bool = True
+    # Kit presets position-bound every element (@left/@right/@prev_left
+    # windows, kits.rs:175-236), so by default long reads ship only
+    # their end windows to the device (SURVEY §5.7 fast path; W derived
+    # from the active patterns by ends_window_for_patterns).  Mid-read
+    # flank hits — which the presets reject positionally — then never
+    # reach annotation.tsv, so a read carrying one can pass the filter
+    # where the full scan's all-rows-covered rule would drop it (see
+    # docs/SEMANTICS.md).  full_scan=True (--full-scan) restores the
+    # reference's whole-read scan; --use-extended implies it (fusion
+    # templates exist to FIND mid-read constructs).
+    full_scan: bool = False
+
+
+def ends_window_for_patterns(patterns, groups) -> Optional[int]:
+    """Minimal ends-scan window W (bases) that discovers every hit the
+    given filter patterns can accept, or ``None`` when a pattern is not
+    positionally bounded (full scan required).
+
+    Bounding: an element anchored ``@left(a..b)`` has read_start_bar <=
+    b, so its flank ends by ``b + EXT`` where ``EXT = flank_len + k``
+    bounds one match's on-read extent; ``@prev_left(a..b)`` chains off
+    the previous element's end bound; ``@right(a..b)`` has its end
+    within ``b`` of the read end (depth ``b + EXT`` covers its start
+    too).  Strand symmetry (rc-sequenced reads mirror every construct)
+    makes one depth D cover both read ends, and the suffix row's halo
+    exclusion adds ``halo + 1``.  W is rounded up to a 512-base
+    granularity: concatenated device rows are 128-byte aligned, so
+    finer W only shifts padding, and fewer distinct W values means
+    fewer compiled executables (a multi-minute load each on the remote
+    backend).
+
+    Matches the positional semantics of
+    :func:`barbell_tpu.stages.pattern.match_pattern` (reference
+    `src/filter/pattern.rs:205-240`); preset windows at
+    `src/kits/kits.rs:175-236`."""
+    from .. import PADDING
+    from ..ops import oracle
+
+    if not groups or any(g.k_cutoff is None for g in groups):
+        return None
+    ext = max(len(g.flank_masks) + int(g.k_cutoff) for g in groups)
+    halo = max(
+        oracle.flank_window_span(len(g.flank_masks), int(g.k_cutoff))
+        for g in groups
+    ) + PADDING + 2
+    depth = 0
+    for pat in patterns:
+        prev = None  # end-position bound of the previous element
+        for el in pat.elements:
+            if el.relative_to == "left":
+                prev = el.range[1] + ext
+            elif el.relative_to == "prev_left":
+                if prev is None:
+                    # unanchored prev_left auto-matches (match_pattern),
+                    # so the element is unbounded
+                    return None
+                prev = prev + el.range[1] + ext
+            elif el.relative_to == "right":
+                depth = max(depth, el.range[1] + ext)
+                prev = None  # a prev_left after @right would be unbounded
+                continue
+            else:
+                return None  # positionally unconstrained element
+            depth = max(depth, prev)
+    W = depth + halo + 1
+    W = -(-W // 512) * 512
+    if 2 * W > 8192:  # exceeds the engine row-width ceiling: no benefit
+        return None
+    return W
 
 
 def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
@@ -66,6 +135,30 @@ def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
         backend=config.backend,
         batch_size=config.batch_size,
     )
+
+    if not config.full_scan and not config.use_extended:
+        from ..models.barcodes import BarcodeGroup
+        from ..ops.edit_model import get_edit_cut_off
+        from .pattern import pattern_from_str as _pfs
+
+        wgroups = BarcodeGroup.from_kit(config.kit_name, False)
+        for g in wgroups:
+            g.set_flank_threshold(
+                config.max_flank_errors
+                if config.max_flank_errors is not None
+                else get_edit_cut_off(g.get_effective_len())
+            )
+        wpats = [
+            _pfs(s)
+            for s in preset_patterns(kit_info.pattern_class, config.maximize)
+        ]
+        annotate_config.ends_window = ends_window_for_patterns(wpats, wgroups)
+        if annotate_config.ends_window:
+            print(
+                f"Ends-only scan: long reads ship their first/last "
+                f"{annotate_config.ends_window} bases (preset windows are "
+                f"positional; --full-scan restores whole-read scanning)"
+            )
 
     if config.stream and not config.verbose:
         _demux_using_kit_streaming(fastq_files, config, kit_info, annotate_config)

@@ -96,6 +96,37 @@ def make_reads_nbd(n, seed=0):
     return reads
 
 
+def make_reads_rbk_noisy(n, seed=0):
+    """RBK reads under a realistic per-base error profile (default 7%
+    mixed sub/ins/del, env BENCH_NOISE_RATE) instead of the <=6
+    bounded edits of the clean config — the regime the reference's
+    accuracy claims live in (README.md:14-16).  Measured on 256 reads:
+    0.996 assigned, 1.000 correct-of-assigned at 0.07."""
+    import random
+
+    from barbell_tpu.sim.simulate import (
+        default_barcodes,
+        noise_sequence,
+        rapid_adapter,
+        random_sequence,
+    )
+    from barbell_tpu.utils import dna
+
+    rate = float(os.environ.get("BENCH_NOISE_RATE", "0.07"))
+    rng = random.Random(seed)
+    barcodes = default_barcodes(96)
+    reads = []
+    for i in range(n):
+        label, bseq = barcodes[rng.randrange(96)]
+        body = bytes(random_sequence(rng, rng.randrange(600, 4000)))
+        seq = rapid_adapter(bseq) + body
+        if rng.random() < 0.5:
+            seq = dna.reverse_complement_bytes(seq)
+        seq = noise_sequence(rng, seq, rate)
+        reads.append((f"seq_{i}", seq, label))
+    return reads
+
+
 CONFIGS = {
     "rbk114_96": dict(
         kit="SQK-RBK114-96", make=make_reads_rbk, extended=False,
@@ -108,6 +139,11 @@ CONFIGS = {
     "rbk114_96_extended": dict(
         kit="SQK-RBK114-96", make=make_reads_rbk, extended=True,
         metric="rbk114_96_extended_demux_reads_per_sec_per_chip",
+    ),
+    "rbk114_96_noisy": dict(
+        kit="SQK-RBK114-96", make=make_reads_rbk_noisy, extended=False,
+        metric="rbk114_96_noisy_demux_reads_per_sec_per_chip",
+        min_correct=0.97,
     ),
 }
 
@@ -348,7 +384,27 @@ def main():
     groups = BarcodeGroup.from_kit(cfg["kit"], cfg["extended"])
     for g in groups:
         g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
-    engine = JaxDemuxEngine(groups)
+    # Kit-preset demux is the headline metric, and the kit runner's
+    # default is the SURVEY §5.7 ends-only scan (long reads ship only
+    # their end windows; W derived from the kit's safe preset patterns).
+    # BENCH_ENDS=0 measures the whole-read scan; --use-extended always
+    # scans whole reads (fusion templates target mid-read constructs).
+    ends_window = None
+    if os.environ.get("BENCH_ENDS", "1") != "0" and not cfg["extended"]:
+        from barbell_tpu.kits.database import get_kit_info
+        from barbell_tpu.kits.presets import preset_patterns
+        from barbell_tpu.stages.kit import ends_window_for_patterns
+        from barbell_tpu.stages.pattern import pattern_from_str
+
+        pats = [
+            pattern_from_str(s)
+            for s in preset_patterns(
+                get_kit_info(cfg["kit"]).pattern_class, False
+            )
+        ]
+        ends_window = ends_window_for_patterns(pats, groups)
+        print(f"# ends-only scan window: {ends_window}", file=sys.stderr)
+    engine = JaxDemuxEngine(groups, ends_window=ends_window)
 
     make = cfg["make"]
     warm = make(BATCH, seed=99)
@@ -432,7 +488,10 @@ def main():
             f"correct {correct / max(1, n_done):.3f}{anchor_note}",
             file=sys.stderr,
         )
-        assert correct == n_done or correct / max(1, n_done) > 0.99, "accuracy regression"
+        floor = cfg.get("min_correct", 0.99)
+        assert correct == n_done or correct / max(1, n_done) > floor, (
+            "accuracy regression"
+        )
         pass_times.append(dt)
 
     dt = float(np.median(pass_times))
@@ -486,6 +545,7 @@ def main():
                 "value": round(rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(float(np.median(pass_ratios)), 3),
+                "ends_window": ends_window or 0,
                 **extra,
                 **(
                     {"probe_attempts": _PROBE_ATTEMPTS}

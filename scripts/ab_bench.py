@@ -75,9 +75,41 @@ def build_engines():
             (eng, "depth_4", BATCH, 4),
             (eng, f"depth_{db}", BATCH, db),
         )
+    elif MODE == "ends":
+        W = _preset_window(groups)
+        arms = (
+            (JaxDemuxEngine(groups), "full_scan", BATCH, None),
+            (JaxDemuxEngine(groups, ends_window=W), f"ends_{W}", BATCH, None),
+        )
+    elif MODE == "align":
+        W = _preset_window(groups)
+        arms = (
+            (
+                JaxDemuxEngine(groups, ends_window=W, cat_align=128),
+                "ends_align128", BATCH, None,
+            ),
+            (
+                JaxDemuxEngine(groups, ends_window=W, cat_align=64),
+                "ends_align64", BATCH, None,
+            ),
+        )
+    elif MODE == "meta":
+        arms = (
+            (JaxDemuxEngine(groups, meta_mode="wire"), "meta_wire", BATCH, None),
+            (JaxDemuxEngine(groups, meta_mode="desc"), "meta_desc", BATCH, None),
+        )
     else:
         raise SystemExit(f"unknown AB_MODE {MODE!r}")
     return arms
+
+
+def _preset_window(groups):
+    from barbell_tpu.kits.presets import preset_patterns
+    from barbell_tpu.stages.kit import ends_window_for_patterns
+    from barbell_tpu.stages.pattern import pattern_from_str
+
+    pats = [pattern_from_str(s) for s in preset_patterns("single", False)]
+    return ends_window_for_patterns(pats, groups)
 
 
 def run_pass(engine, reads, batch, depth=None):

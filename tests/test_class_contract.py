@@ -63,3 +63,65 @@ def test_per_class_accuracy_contract(tmp_path):
     for group in ("GroupI", "GroupIV", "GroupV", "GroupVI"):
         r = reports[group]
         assert r.assigned == 0, (group, r)
+
+
+@pytest.mark.slow
+def test_accuracy_contract_at_realistic_noise():
+    """Elevated-noise contract (VERDICT r03 #5): at a 7% per-base
+    mixed sub/ins/del error rate — the documented Nanopore R10 regime,
+    vs the <=6 bounded edits of the clean sim — RBK demux must still
+    assign nearly everything and never mis-assign.  Floor recorded from
+    a 256-read measurement (0.996 assigned, 1.000 correct-of-assigned);
+    the test leaves slack for seed variance.  Runs the production jax
+    engine in its kit configuration (ends-only scan)."""
+    import random
+
+    import numpy as np
+
+    jax = pytest.importorskip("jax")
+
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.hittable import MTYPE_CODE
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.models.records import BarcodeType
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+    from barbell_tpu.sim.simulate import (
+        noise_sequence,
+        rapid_adapter,
+        random_sequence,
+    )
+    from barbell_tpu.utils import dna
+
+    rng = random.Random(3)
+    bars = default_barcodes(96)
+    n = 48
+    ids, seqs, truth = [], [], []
+    for i in range(n):
+        label, bseq = bars[rng.randrange(96)]
+        seq = rapid_adapter(bseq) + bytes(
+            random_sequence(rng, rng.randrange(600, 3000))
+        )
+        if rng.random() < 0.5:
+            seq = dna.reverse_complement_bytes(seq)
+        seqs.append(noise_sequence(rng, seq, 0.07))
+        ids.append(f"z{i}")
+        truth.append(label)
+
+    groups = BarcodeGroup.from_kit("SQK-RBK114-96", False)
+    for g in groups:
+        g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+    engine = JaxDemuxEngine(
+        groups, devices=jax.devices()[:1], ends_window=1024
+    )
+    t = engine.demux_batch_table(ids, seqs)
+    c = t.cols
+    tag = c["mtype"] == MTYPE_CODE[BarcodeType.Ftag]
+    uniq, first = np.unique(c["reads"][tag], return_index=True)
+    got = np.asarray(engine.labels)[c["label"][tag][first]]
+    want = np.asarray(truth)[uniq]
+    assigned = uniq.size / n
+    correct_of_assigned = float((got == want).mean()) if uniq.size else 0.0
+    assert assigned >= 0.90, f"assigned {assigned:.3f} at 7% noise"
+    assert correct_of_assigned >= 0.99, (
+        f"correct-of-assigned {correct_of_assigned:.3f} at 7% noise"
+    )

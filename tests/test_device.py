@@ -601,19 +601,26 @@ def test_meta_wire_roundtrip():
     meta[:, comp.M_FSIMPLE] = rng.integers(-1, 1 << 17, R)
     meta[:, comp.M_BASEROW] = rng.integers(0, 1 << 16, R)
     meta[:, comp.M_NCHUNKS] = rng.integers(0, 1 << 15, R)
+    meta[:, comp.M_ENDS] = rng.integers(0, 2, R)
     # boundary rows: all-zero, all-max, the M_HI=-1 init row
     meta[0] = 0
     meta[1] = ((1 << 14) - 1, (1 << 14) - 1, 1, 1, (1 << 14) - 1,
                (1 << 14) - 2, 2**31 - 1, 2**31 - 1, 1, 2**31 - 1,
-               (1 << 16) - 1, (1 << 15) - 1)
+               (1 << 16) - 1, (1 << 15) - 1, 1)
     meta[2] = 0
     meta[2, comp.M_HI] = -1
     meta[2, comp.M_FSIMPLE] = -1
 
     wire = comp.pack_meta_np(meta)
     assert wire.shape == (R, comp.META_WIRE_COLS)
-    back = np.asarray(jax.jit(comp._unpack_meta)(wire))
+    back = np.asarray(
+        jax.jit(lambda w: comp._unpack_meta(w, with_ends=True))(wire)
+    )
     assert np.array_equal(back, meta)
+    # the default (full-scan) unpack omits the ends column and must
+    # keep the traced HLO of pre-ends executables
+    back12 = np.asarray(jax.jit(comp._unpack_meta)(wire))
+    assert np.array_equal(back12, meta[:, : comp.M_ENDS])
 
     # out-of-range coordinates must refuse to pack, not corrupt
     # (ValueError, not assert: asserts vanish under python -O)

@@ -110,9 +110,9 @@ def test_hit_overflow_retry_is_sticky(sharded):
     name = "_dispatch_group_sharded" if sharded else "_dispatch_group"
     orig = getattr(engine, name)
 
-    def counting(gplan, dev_in, pack_mode, L, step, H_cap):
+    def counting(gplan, dev_in, pack_mode, L, step, H_cap, extra=None):
         calls.append(H_cap)
-        return orig(gplan, dev_in, pack_mode, L, step, H_cap)
+        return orig(gplan, dev_in, pack_mode, L, step, H_cap, extra)
 
     setattr(engine, name, counting)
 

@@ -108,8 +108,8 @@ def test_sharded_demux_step_matches_single_device():
         meta[:, comp.M_HI] = -1
         for i in range(per):
             n = int(sub_lens[i])
-            meta[i] = (0, n, 1, 1, 0, n, 0, n, 0, i, 0, 1)
-            meta[R_pad + i] = (L - n, L, 1, 1, L - n, L, 0, n, 1, i, 0, 1)
+            meta[i] = (0, n, 1, 1, 0, n, 0, n, 0, i, 0, 1, 0)
+            meta[R_pad + i] = (L - n, L, 1, 1, L - n, L, 0, n, 1, i, 0, 1, 0)
         metas.append(meta)
         sidxs.append(np.arange(S_pad, dtype=np.int32))
 
@@ -277,3 +277,50 @@ def test_engine_sharded_pallas_matches_single_device():
     out8 = e8.demux_batch(ids, seqs)
     assert e8.last_dispatch == "sharded"
     assert out8 == e1.demux_batch(ids, seqs)
+
+
+def test_engine_sharded_fused_multi_group():
+    """Multi-group kits on the mesh take ONE shard_map'd fused call per
+    batch (sharded-fused) and stay row-identical to the single-device
+    fused path — including the overflow-retry path (hit-dense reads
+    overflow the initial per-shard lane capacity)."""
+    import random
+
+    from barbell_tpu.models.barcodes import BarcodeGroup
+    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.ops.edit_model import get_edit_cut_off
+
+    def groups():
+        gs = BarcodeGroup.from_kit("SQK-RBK114-96", use_extended=True)
+        assert len(gs) >= 2
+        for g in gs:
+            g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
+        return gs
+
+    ids, seqs = _mk_reads(96, 17, seed=77, long_at=(2,), iupac_at=(5,))
+    # hit-dense reads on several shards: many constructs per read so the
+    # initial H_cap overflows and the sticky retry fires on the fused
+    # sharded path
+    from barbell_tpu.sim.simulate import default_barcodes, rapid_adapter
+
+    rng = random.Random(9)
+    gs = groups()
+    bars = default_barcodes(96)
+    for j in (0, 1, 8, 9, 10):
+        parts = []
+        for _ in range(12):
+            _lab, bseq = bars[rng.randrange(96)]
+            parts.append(
+                rapid_adapter(bseq)
+                + bytes(rng.choice(b"ACGT") for _ in range(40))
+            )
+        seqs[j] = b"".join(parts)
+
+    e8 = JaxDemuxEngine(gs, max_row_len=2048)
+    e1 = JaxDemuxEngine(groups(), max_row_len=2048, devices=jax.devices()[:1])
+    out8 = e8.demux_batch(ids, seqs)
+    assert e8.last_dispatch == "sharded-fused"
+    assert e8._h_cap_hint > 0  # the overflow retry actually fired
+    out1 = e1.demux_batch(ids, seqs)
+    assert e1.last_dispatch == "single-fused"
+    assert out8 == out1
