@@ -383,15 +383,18 @@ class JaxDemuxEngine:
                 f"headroom) cannot hold the flank halo {self.halo}"
             )
 
-        # Ends-only fast path (SURVEY §5.7): reads longer than
-        # max(2W, L) ship ONLY their first/last W bases as two forward
-        # rows (rc twins synthesized on device, like simple reads) —
-        # the structural wire cut for kit-preset demux, whose filter
-        # patterns positionally reject mid-read hits anyway.  Hits with
-        # end positions in [0, W-1-PADDING] or [n-W+halo+1, n] are
-        # byte-identical to the full scan; the middle is not scanned
-        # (documented mode — see stages/kit.ends_window_for_patterns
-        # for the preset-derived W).
+        # Ends-only fast path (SURVEY §5.7): reads longer than max(W, L)
+        # ship ONLY their first/last W bases as two forward rows (rc
+        # twins synthesized on device, like simple reads) — the
+        # structural wire cut for kit-preset demux, whose filter
+        # patterns positionally reject mid-read hits anyway.  The two
+        # windows' claim ranges tile at C = max(n-W+halo+1, W-PADDING):
+        # hits with end positions in [0, W-1-PADDING] or [C, n] are
+        # byte-identical to the full scan, so reads up to
+        # 2W-halo-PADDING-1 are covered COMPLETELY (the windows overlap
+        # mid-read) and only longer reads skip their middle (documented
+        # mode — see stages/kit.ends_window_for_patterns for the
+        # preset-derived W).
         self.ends_window = int(ends_window) if ends_window else 0
         if self.ends_window:
             W = self.ends_window
@@ -400,9 +403,9 @@ class JaxDemuxEngine:
                     f"ends_window {W} must exceed halo+padding "
                     f"({self.halo + PADDING + 2})"
                 )
-            if 2 * W > self.max_row_len:
+            if W > self.max_row_len:
                 raise ValueError(
-                    f"ends_window {W} needs rows of 2W <= max_row_len "
+                    f"ends_window {W} needs rows of W <= max_row_len "
                     f"({self.max_row_len})"
                 )
         # Wire meta mode: 'desc' derives per-row metadata + byte starts
@@ -415,12 +418,13 @@ class JaxDemuxEngine:
         if meta_mode not in ("wire", "desc"):
             raise ValueError(f"meta_mode must be 'wire' or 'desc', got {meta_mode!r}")
         self.meta_mode = meta_mode
-        # Concatenated-row byte alignment: 128 keeps the device scatter
-        # on (1, 128) slab gathers; 64 halves the per-row padding waste
-        # (matters in ends mode where rows are short) at 2x gather
-        # indices — A/B'd on hardware (BARBELL_CAT_ALIGN).
+        # Concatenated-row byte alignment: 64 halves the per-row padding
+        # waste vs 128 at 2x gather indices; the round-4 paired on-chip
+        # A/B under ends mode measured 64 ~1.2x faster (median 0.392s vs
+        # 0.461s per 16k reads, bench_r04/ab_align.json), so 64 is the
+        # default (BARBELL_CAT_ALIGN=128 restores the old layout).
         if cat_align is None:
-            cat_align = int(_os.environ.get("BARBELL_CAT_ALIGN", "128"))
+            cat_align = int(_os.environ.get("BARBELL_CAT_ALIGN", "64"))
         if cat_align not in (64, 128):
             raise ValueError(f"cat_align must be 64 or 128, got {cat_align}")
         self.cat_align = cat_align
@@ -644,12 +648,17 @@ class JaxDemuxEngine:
         BARBELL_AUTO_L=0 restores the max-length rule."""
         lmax = int(lens.max())
         if self.ends_window:
-            # Ends mode: L = pow2(min(lmax, 2W)) — reads <= L ship
-            # whole (they ARE their own ends), longer reads become two
-            # W-wide end rows.  The full cost model is moot: shipped
-            # bytes are ~min(n, 2W) regardless of L, and the smallest L
-            # holding 2W minimizes padded device cells.
-            eff = min(max(lmax, self.halo + PADDING + 3), 2 * self.ends_window)
+            # Ends mode: L = pow2(min(lmax, W)) — reads <= L ship whole
+            # (they ARE their own ends), longer reads become two W-wide
+            # end rows that each fill a whole row.  Round 4 halved this
+            # from 2W: a W-wide window in a 2W row was 50% padded device
+            # cells, and the Myers scan over padded cells had become the
+            # largest per-batch fixed cost once the ends cut shrank the
+            # wire.  Reads in (W, 2W) now pay ~2W shipped bases instead
+            # of n (the two windows overlap mid-read but their claim
+            # ranges tile exactly — see _materialize), a ~+10% wire
+            # trade for ~half the padded cells.
+            eff = min(max(lmax, self.halo + PADDING + 3), self.ends_window)
             return min(_pow2_at_least(eff, lo=256), self.max_row_len)
         top = min(
             _pow2_at_least(max(lmax, self.halo + PADDING + 3), lo=256),
@@ -702,12 +711,13 @@ class JaxDemuxEngine:
         fwd_cover: Dict[int, List[Tuple[int, int]]] = {}
 
         # --- simple reads (fit one row; raw bytes, native-encoded) -----
-        # Ends mode: reads longer than max(L, 2W) ship only their end
-        # windows (disjoint since n > 2W); the chunk path stays for the
-        # L < n <= 2W corner (possible only when max_row_len clamps L
-        # below 2W — the whole read is then within W of an end and the
+        # Ends mode: reads longer than max(L, W) ship only their end
+        # windows (overlapping mid-read when n < 2W; the claim ranges
+        # tile exactly — see _materialize); the chunk path stays for
+        # the L < n <= W corner (possible only when max_row_len clamps
+        # L below W — the whole read is then within W of an end and the
         # full chunk scan is equivalent).
-        ends_cut = max(L, 2 * self.ends_window) if self.ends_window else None
+        ends_cut = max(L, self.ends_window) if self.ends_window else None
         long_reads: List[int] = []
         for ridx in read_indices:
             n = lens[ridx]
@@ -843,11 +853,20 @@ class JaxDemuxEngine:
         # The flip of the forward PREFIX is the rc-coordinate SUFFIX
         # window (and vice versa); both cover rows are the forward pair
         # (baserow = prefix row), selected on device by
-        # ``bstart >= n - W``.
+        # ``bstart >= n - W``.  Claim partition: the prefix claims end
+        # positions [0, W-1-PADDING], the suffix [C, n] with
+        # C = max(n-W+halo+1, W-PADDING) — for n < 2W the windows
+        # OVERLAP mid-read and C makes the claims tile exactly (full
+        # coverage, identical rows to the whole-read scan, up to
+        # n = 2W-halo-PADDING-1); beyond that the middle is unscanned
+        # (the documented ends-mode deviation).  C-(n-W) >= halo+1
+        # always, so the suffix DP has full left context at its first
+        # claim.
         if E:
             W = self.ends_window
             er = np.asarray(plan.ends_reads, dtype=np.int64)
             ne = np.asarray(lens, dtype=np.int64)[er].astype(np.int32)
+            suf_lo = np.maximum(self.halo + 1, 2 * W - PADDING - ne)
             rows_p = (S + 2 * np.arange(E, dtype=np.int64)).astype(np.int32)
             blk = np.zeros((2 * E, comp.META_COLS), dtype=np.int32)
             pre, suf = blk[0::2], blk[1::2]
@@ -861,7 +880,7 @@ class JaxDemuxEngine:
             pre[:, comp.M_TSTART] = 1
             pre[:, comp.M_HI] = W - 1 - PADDING
             suf[:, comp.M_TEND] = 1
-            suf[:, comp.M_LO] = self.halo + 1
+            suf[:, comp.M_LO] = suf_lo
             suf[:, comp.M_HI] = W
             suf[:, comp.M_OFF] = ne - W
             meta[S:F] = blk
@@ -878,7 +897,7 @@ class JaxDemuxEngine:
                 half[:, comp.M_NCHUNKS] = 2
                 half[:, comp.M_ENDS] = 1
             tpre[:, comp.M_TEND] = 1  # rc suffix window
-            tpre[:, comp.M_LO] = L - W + self.halo + 1
+            tpre[:, comp.M_LO] = (L - W) + suf_lo
             tpre[:, comp.M_HI] = L
             tpre[:, comp.M_OFF] = ne - W
             tsuf[:, comp.M_TSTART] = 1  # rc prefix window
@@ -945,7 +964,7 @@ class JaxDemuxEngine:
         count (a read's chunk rows must share a shard: barcode windows
         gather from sibling chunk rows).  Deterministic."""
         B = len(lens)
-        ends_cut = max(L, 2 * self.ends_window) if self.ends_window else None
+        ends_cut = max(L, self.ends_window) if self.ends_window else None
         nrows = np.ones(B, dtype=np.int64)
         for r in range(B):
             n = int(lens[r])

@@ -571,12 +571,19 @@ def _derive_meta(
         if twin:
             valid = valid & ~is_chunk
         z = jnp.zeros_like(block_n)
+        # Suffix-claim start, row-local: the prefix claims end positions
+        # [0, W-1-PADDING] and the suffix [C, n] with
+        # C = max(n-W+halo+1, W-PADDING) — claims tile exactly for
+        # n <= 2W-halo-PADDING-1 (the windows overlap mid-read), and
+        # the suffix DP always has >= halo left context at its first
+        # claim.  Must match _materialize's host-side formula.
+        suf_lo = jnp.maximum(halo + 1, 2 * W - padding - block_n)
         if not twin:
             tsc = z
             tec = jnp.where(is_simple, block_n, W)
             ts = is_simple | is_pre
             te = is_simple | is_suf
-            lo = jnp.where(is_suf, halo + 1, 0)
+            lo = jnp.where(is_suf, suf_lo, 0)
             hi = jnp.where(
                 is_simple, block_n, jnp.where(is_pre, W - 1 - padding, W)
             )
@@ -588,7 +595,7 @@ def _derive_meta(
             tec = jnp.full_like(block_n, L)
             ts = is_simple | is_suf  # tag-2 flip = rc PREFIX
             te = is_simple | is_pre  # tag-1 flip = rc SUFFIX
-            lo = jnp.where(is_pre, L - W + halo + 1, tsc)
+            lo = jnp.where(is_pre, (L - W) + suf_lo, tsc)
             hi = jnp.where(is_suf, L - 1 - padding, L)
             off = jnp.where(is_pre, block_n - W, 0)
             isrc = jnp.ones_like(block_n)

@@ -36,10 +36,11 @@ class AnnotateConfig:
     # Multi-host record striping: (rank, world) — this process handles
     # records with stream_index %% world == rank.
     shard: Optional[tuple] = None
-    # Ends-only fast path (SURVEY §5.7): reads longer than 2W ship only
-    # their first/last W bases; mid-read hits are not scanned.  None =
-    # whole-read scan (the reference-parity default for annotate); the
-    # kit runner derives W from its preset patterns.
+    # Ends-only fast path (SURVEY §5.7): long reads ship only their
+    # first/last W bases (full coverage up to 2W-halo-PADDING-1; the
+    # middle of longer reads is not scanned).  None = whole-read scan
+    # (the reference-parity default for annotate); the kit runner
+    # derives W from its preset patterns.
     ends_window: Optional[int] = None
 
 

@@ -66,11 +66,12 @@ def ends_window_for_patterns(patterns, groups) -> Optional[int]:
     within ``b`` of the read end (depth ``b + EXT`` covers its start
     too).  Strand symmetry (rc-sequenced reads mirror every construct)
     makes one depth D cover both read ends, and the suffix row's halo
-    exclusion adds ``halo + 1``.  W is rounded up to a 512-base
-    granularity: concatenated device rows are 128-byte aligned, so
-    finer W only shifts padding, and fewer distinct W values means
-    fewer compiled executables (a multi-minute load each on the remote
-    backend).
+    exclusion adds ``halo + 1``.  W is rounded up to a 128-base
+    granularity: every base of W is shipped twice per long read over
+    the ~30MB/s tunnel (the binding resource — round-4 A/Bs), so W
+    hugs the derived depth, while the compiled-shape universe stays
+    bounded because the engine's row width is pow2(W) and the W values
+    themselves are preset-derived constants.
 
     Matches the positional semantics of
     :func:`barbell_tpu.stages.pattern.match_pattern` (reference
@@ -106,8 +107,8 @@ def ends_window_for_patterns(patterns, groups) -> Optional[int]:
                 return None  # positionally unconstrained element
             depth = max(depth, prev)
     W = depth + halo + 1
-    W = -(-W // 512) * 512
-    if 2 * W > 8192:  # exceeds the engine row-width ceiling: no benefit
+    W = -(-W // 128) * 128
+    if W > 8192:  # exceeds the engine row-width ceiling: no benefit
         return None
     return W
 

@@ -93,6 +93,21 @@ def build_engines():
                 "ends_align64", BATCH, None,
             ),
         )
+    elif MODE == "fine_ends":
+        # Does padded device compute/fetch bind in ends mode?  Round 3
+        # measured fine_rows neutral on the FULL scan (fetch-latency
+        # bound); ends mode halves the wire, so re-ask under it.
+        W = _preset_window(groups)
+        arms = (
+            (
+                JaxDemuxEngine(groups, ends_window=W, fine_rows=False),
+                "ends_pow2_rows", BATCH, None,
+            ),
+            (
+                JaxDemuxEngine(groups, ends_window=W, fine_rows=True),
+                "ends_fine_rows", BATCH, None,
+            ),
+        )
     elif MODE == "meta":
         arms = (
             (JaxDemuxEngine(groups, meta_mode="wire"), "meta_wire", BATCH, None),

@@ -209,15 +209,16 @@ def test_ends_drops_mid_read_hits_only():
 
 
 def test_ends_boundary_lengths():
-    """Reads straddling n == L and n == 2W: the simple/ends cut."""
+    """Reads straddling n == L (the simple/pair cut) and the
+    full-coverage ceiling 2W-halo-PADDING-1."""
     groups = _groups()
     W = 1024
     rng = random.Random(9)
     label, bseq = default_barcodes(96)[3]
     ids, seqs = [], []
-    for i, n_body in enumerate([2040, 2048, 2049, 2056, 4000, 900]):
+    for i, n_body in enumerate([1016, 1024, 1025, 1032, 1900, 4000, 900]):
         seq = rapid_adapter(bseq) + bytes(random_sequence(rng, n_body))
-        # trim/extend to hit exact total lengths around 2048
+        # trim/extend to hit exact total lengths around L = pow2(W)
         seqs.append(seq[: n_body + 8])
         ids.append(f"b{i}")
     full = JaxDemuxEngine(groups, devices=_cpu1())
@@ -227,12 +228,50 @@ def test_ends_boundary_lengths():
     )
 
 
+def test_ends_overlapping_pair_full_coverage():
+    """Reads in (L, 2W-halo-PADDING-1]: the prefix/suffix windows
+    OVERLAP mid-read and their claim ranges tile exactly, so the
+    ends-mode engine is row-identical to the full scan EVEN FOR
+    mid-read constructs (no skipped middle) — the round-4 L=pow2(W)
+    redesign's correctness gate.  Constructs are planted across the
+    whole length incl. the claim boundary region around W-PADDING,
+    both strands."""
+    groups = _groups()
+    W = 1024  # coverage ceiling 2W-halo-PADDING-1 = 1908 for RBK
+    rng = random.Random(10)
+    bcs = default_barcodes(96)
+    ids, seqs = [], []
+    i = 0
+    for n_total in (1100, 1300, 1500, 1652, 1700, 1750):
+        for frac in (0.0, 0.3, 0.5, 0.62, 0.8):
+            label, bseq = bcs[rng.randrange(96)]
+            ad = rapid_adapter(bseq)
+            pos = int((n_total - len(ad)) * frac)
+            body_l = bytes(random_sequence(rng, pos))
+            body_r = bytes(random_sequence(rng, n_total - len(ad) - pos))
+            seq = body_l + ad + body_r
+            if rng.random() < 0.5:
+                seq = dna.reverse_complement_bytes(seq)
+            seq = mutate_sequence(rng, seq, 0, 4)
+            ids.append(f"c{i}")
+            seqs.append(seq)
+            i += 1
+    full = JaxDemuxEngine(groups, devices=_cpu1())
+    ends = JaxDemuxEngine(groups, devices=_cpu1(), ends_window=W)
+    tf = full.demux_batch_table(ids, seqs)
+    te = ends.demux_batch_table(ids, seqs)
+    _assert_tables_equal(tf, te)
+    # the planted mid constructs really produced rows
+    assert tf.n_rows >= len(ids) // 2
+
+
 def test_ends_window_validation():
     groups = _groups()
     with pytest.raises(ValueError):
         JaxDemuxEngine(groups, devices=_cpu1(), ends_window=8)
     with pytest.raises(ValueError):
-        JaxDemuxEngine(groups, devices=_cpu1(), ends_window=8192)
+        # one W window must fit a row
+        JaxDemuxEngine(groups, devices=_cpu1(), ends_window=16384)
     with pytest.raises(ValueError):
         JaxDemuxEngine(groups, devices=_cpu1(), cat_align=32)
     with pytest.raises(ValueError):
@@ -254,7 +293,7 @@ def test_ends_window_for_patterns():
         )
     ]
     w2 = ends_window_for_patterns(chain, groups)
-    assert w2 == 1024  # 2*(250+110)+123+1 = 844 -> 1024
+    assert w2 == 896  # 2*(250+110)+123+1 = 844 -> 896 (128-gran)
 
     right = [pattern_from_str("Ftag[<<, rc, *, @right(0..250)]")]
     assert ends_window_for_patterns(right, groups) == 512
