@@ -141,6 +141,20 @@ def _pow2_at_least(x: int, lo: int = 8) -> int:
     return n
 
 
+def _over_words(R: int) -> int:
+    """int32 words of demux_call's packed overflow bitmask for R rows."""
+    return (R + 31) // 32
+
+
+def _over_rows(words: np.ndarray, R: int) -> np.ndarray:
+    """Row indices flagged in the packed overflow bitmask."""
+    bits = np.unpackbits(
+        np.ascontiguousarray(words, dtype="<i4").view(np.uint8),
+        bitorder="little",
+    )[:R]
+    return np.nonzero(bits)[0]
+
+
 def _mantissa_bucket(x: int, lo: int) -> int:
     """Smallest m * 2**e >= x with m in [8, 16]: 1/8-octave size
     buckets bound padding waste at 12.5% where a pow2 bucket wastes up
@@ -263,7 +277,7 @@ class JaxDemuxEngine:
         devices: Optional[Sequence] = None,
         fine_rows: Optional[bool] = None,
         mono_upload: Optional[bool] = None,
-        ends_window: Optional[int] = None,
+        ends_window=None,  # int (symmetric) | (W_left, W_right) | None
         meta_mode: Optional[str] = None,
         cat_align: Optional[int] = None,
     ):
@@ -383,31 +397,47 @@ class JaxDemuxEngine:
                 f"headroom) cannot hold the flank halo {self.halo}"
             )
 
-        # Ends-only fast path (SURVEY §5.7): reads longer than max(W, L)
-        # ship ONLY their first/last W bases as two forward rows (rc
-        # twins synthesized on device, like simple reads) — the
-        # structural wire cut for kit-preset demux, whose filter
-        # patterns positionally reject mid-read hits anyway.  The two
-        # windows' claim ranges tile at C = max(n-W+halo+1, W-PADDING):
-        # hits with end positions in [0, W-1-PADDING] or [C, n] are
+        # Ends-only fast path (SURVEY §5.7): reads longer than
+        # max(W, L) ship ONLY their first W_l / last W_r bases as two
+        # forward rows (rc twins synthesized on device, like simple
+        # reads) — the structural wire cut for kit-preset demux, whose
+        # filter patterns positionally reject mid-read hits anyway.
+        # The windows may be per-side asymmetric (`@prev_left` chains
+        # anchor left, so only the prefix needs the chained depth); the
+        # claim ranges tile at C = max(n-W_r+halo+1, W_l-PADDING):
+        # hits with end positions in [0, W_l-1-PADDING] or [C, n] are
         # byte-identical to the full scan, so reads up to
-        # 2W-halo-PADDING-1 are covered COMPLETELY (the windows overlap
-        # mid-read) and only longer reads skip their middle (documented
-        # mode — see stages/kit.ends_window_for_patterns for the
-        # preset-derived W).
-        self.ends_window = int(ends_window) if ends_window else 0
+        # W_l+W_r-halo-PADDING-1 are covered COMPLETELY (the windows
+        # overlap mid-read) and only longer reads skip their middle
+        # (documented mode — see stages/kit.ends_plan_for_patterns for
+        # the preset-derived widths).
+        if ends_window:
+            if isinstance(ends_window, (tuple, list)):
+                wl, wr = int(ends_window[0]), int(ends_window[1])
+            else:
+                wl = wr = int(ends_window)
+        else:
+            wl = wr = 0
+        if (wl > 0) != (wr > 0):
+            raise ValueError(
+                f"ends windows must both be set or both unset, got "
+                f"({wl}, {wr})"
+            )
+        self.ends_wl, self.ends_wr = wl, wr
+        #: max per-side width: row-width / ends-cut decisions use it
+        self.ends_window = max(wl, wr)
         if self.ends_window:
-            W = self.ends_window
-            if W <= self.halo + PADDING + 2:
-                raise ValueError(
-                    f"ends_window {W} must exceed halo+padding "
-                    f"({self.halo + PADDING + 2})"
-                )
-            if W > self.max_row_len:
-                raise ValueError(
-                    f"ends_window {W} needs rows of W <= max_row_len "
-                    f"({self.max_row_len})"
-                )
+            for W in (wl, wr):
+                if W <= self.halo + PADDING + 2:
+                    raise ValueError(
+                        f"ends window {W} must exceed halo+padding "
+                        f"({self.halo + PADDING + 2})"
+                    )
+                if W > self.max_row_len:
+                    raise ValueError(
+                        f"ends window {W} needs rows of W <= max_row_len "
+                        f"({self.max_row_len})"
+                    )
         # Wire meta mode: 'desc' derives per-row metadata + byte starts
         # on device from a 4-byte/row descriptor (pack_mode 2 only;
         # ~24B -> 4B per row on the ~30MB/s tunnel); 'wire' uploads the
@@ -418,15 +448,18 @@ class JaxDemuxEngine:
         if meta_mode not in ("wire", "desc"):
             raise ValueError(f"meta_mode must be 'wire' or 'desc', got {meta_mode!r}")
         self.meta_mode = meta_mode
-        # Concatenated-row byte alignment: 64 halves the per-row padding
-        # waste vs 128 at 2x gather indices; the round-4 paired on-chip
-        # A/B under ends mode measured 64 ~1.2x faster (median 0.392s vs
-        # 0.461s per 16k reads, bench_r04/ab_align.json), so 64 is the
-        # default (BARBELL_CAT_ALIGN=128 restores the old layout).
+        # Concatenated-row byte alignment: smaller alignment trades
+        # per-row padding waste for more gather slab indices.  The
+        # round-4 paired on-chip A/B under ends mode measured 64 ~1.2x
+        # faster than 128 (median 0.392s vs 0.461s per 16k reads,
+        # bench_r04/ab_align.json), so 64 is the default
+        # (BARBELL_CAT_ALIGN picks 16/32/64/128 for A/Bs).
         if cat_align is None:
             cat_align = int(_os.environ.get("BARBELL_CAT_ALIGN", "64"))
-        if cat_align not in (64, 128):
-            raise ValueError(f"cat_align must be 64 or 128, got {cat_align}")
+        if cat_align not in (16, 32, 64, 128):
+            raise ValueError(
+                f"cat_align must be one of 16/32/64/128, got {cat_align}"
+            )
         self.cat_align = cat_align
 
     # ------------------------------------------------------------------
@@ -571,9 +604,10 @@ class JaxDemuxEngine:
             with _phase("demux_call.fetch"):
                 all_np = np.asarray(all_dev)
             off = 0
+            nw = _over_words(R_total_pad)
             for gplan in self.plans:
                 wcols, _ = self._rec_wire(gplan, L, R_total_pad)
-                n = H_cap * wcols + R_total_pad + 1
+                n = H_cap * wcols + nw + 1
                 pending.append((gplan, all_np[off : off + n]))
                 off += n
         else:
@@ -594,8 +628,9 @@ class JaxDemuxEngine:
                     out_np = np.asarray(out_dev)
             cap = H_cap
             wcols, wbits = self._rec_wire(gplan, L, R_total_pad)
+            nw = _over_words(R_total_pad)
             rec = self._unpack_rec(out_np, cap, wcols, wbits)
-            counts = out_np[cap * wcols : cap * wcols + R_total_pad]
+            over = out_np[cap * wcols : cap * wcols + nw]
             total = int(out_np[-1])
             if total > cap:
                 # Hit-dense batch (many constructs per read): one retry
@@ -609,12 +644,12 @@ class JaxDemuxEngine:
                     )
                 )
                 rec = self._unpack_rec(out_np, cap, wcols, wbits)
-                counts = out_np[cap * wcols : cap * wcols + R_total_pad]
+                over = out_np[cap * wcols : cap * wcols + nw]
                 total = int(out_np[-1])
                 if total > cap:
                     overflow_reads.update(range(B))
                     continue
-            for r in np.nonzero(counts > self.K)[0]:
+            for r in _over_rows(over, R_total_pad):
                 if row_read[r] >= 0:
                     overflow_reads.add(int(row_read[r]))
             with _phase("assemble.host"):
@@ -853,42 +888,43 @@ class JaxDemuxEngine:
         # The flip of the forward PREFIX is the rc-coordinate SUFFIX
         # window (and vice versa); both cover rows are the forward pair
         # (baserow = prefix row), selected on device by
-        # ``bstart >= n - W``.  Claim partition: the prefix claims end
-        # positions [0, W-1-PADDING], the suffix [C, n] with
-        # C = max(n-W+halo+1, W-PADDING) — for n < 2W the windows
-        # OVERLAP mid-read and C makes the claims tile exactly (full
-        # coverage, identical rows to the whole-read scan, up to
-        # n = 2W-halo-PADDING-1); beyond that the middle is unscanned
-        # (the documented ends-mode deviation).  C-(n-W) >= halo+1
-        # always, so the suffix DP has full left context at its first
-        # claim.
+        # ``bstart >= n - W_r``.  Claim partition: the prefix (width
+        # W_l) claims end positions [0, W_l-1-PADDING], the suffix
+        # (width W_r) [C, n] with C = max(n-W_r+halo+1, W_l-PADDING) —
+        # for n < W_l+W_r the windows OVERLAP mid-read and C makes the
+        # claims tile exactly (full coverage, identical rows to the
+        # whole-read scan, up to n = W_l+W_r-halo-PADDING-1); beyond
+        # that the middle is unscanned (the documented ends-mode
+        # deviation).  C-(n-W_r) >= halo+1 always, so the suffix DP has
+        # full left context at its first claim.  Must stay in lockstep
+        # with composite._derive_meta (meta_mode='desc').
         if E:
-            W = self.ends_window
+            W_l, W_r = self.ends_wl, self.ends_wr
             er = np.asarray(plan.ends_reads, dtype=np.int64)
             ne = np.asarray(lens, dtype=np.int64)[er].astype(np.int32)
-            suf_lo = np.maximum(self.halo + 1, 2 * W - PADDING - ne)
+            suf_lo = np.maximum(self.halo + 1, W_l + W_r - PADDING - ne)
             rows_p = (S + 2 * np.arange(E, dtype=np.int64)).astype(np.int32)
             blk = np.zeros((2 * E, comp.META_COLS), dtype=np.int32)
             pre, suf = blk[0::2], blk[1::2]
             for half in (pre, suf):
-                half[:, comp.M_TEC] = W
                 half[:, comp.M_N] = ne
                 half[:, comp.M_FSIMPLE] = -1
                 half[:, comp.M_BASEROW] = rows_p
                 half[:, comp.M_NCHUNKS] = 2
                 half[:, comp.M_ENDS] = 1
+            pre[:, comp.M_TEC] = W_l
             pre[:, comp.M_TSTART] = 1
-            pre[:, comp.M_HI] = W - 1 - PADDING
+            pre[:, comp.M_HI] = W_l - 1 - PADDING
+            suf[:, comp.M_TEC] = W_r
             suf[:, comp.M_TEND] = 1
             suf[:, comp.M_LO] = suf_lo
-            suf[:, comp.M_HI] = W
-            suf[:, comp.M_OFF] = ne - W
+            suf[:, comp.M_HI] = W_r
+            suf[:, comp.M_OFF] = ne - W_r
             meta[S:F] = blk
 
             tb = np.zeros((2 * E, comp.META_COLS), dtype=np.int32)
             tpre, tsuf = tb[0::2], tb[1::2]  # flips of fwd prefix/suffix
             for half in (tpre, tsuf):
-                half[:, comp.M_TSC] = L - W
                 half[:, comp.M_TEC] = L
                 half[:, comp.M_N] = ne
                 half[:, comp.M_ISRC] = 1
@@ -896,12 +932,14 @@ class JaxDemuxEngine:
                 half[:, comp.M_BASEROW] = rows_p
                 half[:, comp.M_NCHUNKS] = 2
                 half[:, comp.M_ENDS] = 1
+            tpre[:, comp.M_TSC] = L - W_l
             tpre[:, comp.M_TEND] = 1  # rc suffix window
-            tpre[:, comp.M_LO] = (L - W) + suf_lo
+            tpre[:, comp.M_LO] = (L - W_l) + suf_lo
             tpre[:, comp.M_HI] = L
-            tpre[:, comp.M_OFF] = ne - W
+            tpre[:, comp.M_OFF] = ne - W_l
+            tsuf[:, comp.M_TSC] = L - W_r
             tsuf[:, comp.M_TSTART] = 1  # rc prefix window
-            tsuf[:, comp.M_LO] = L - W
+            tsuf[:, comp.M_LO] = L - W_r
             tsuf[:, comp.M_HI] = L - 1 - PADDING
             meta[R_host_pad + S : R_host_pad + F] = tb
 
@@ -1129,7 +1167,7 @@ class JaxDemuxEngine:
                 all_np = np.asarray(all_dev)
             sizes = [
                 H_cap * self._rec_wire(g, L, R_total_pad)[0]
-                + R_total_pad + 1
+                + _over_words(R_total_pad) + 1
                 for g in self.plans
             ]
             T = sum(sizes)
@@ -1159,7 +1197,8 @@ class JaxDemuxEngine:
                     out_np = np.asarray(out_dev)
             cap = H_cap
             wcols, wbits = self._rec_wire(gplan, L, R_total_pad)
-            per_shard = cap * wcols + R_total_pad + 1
+            nw = _over_words(R_total_pad)
+            per_shard = cap * wcols + nw + 1
             totals = [int(out_np[(d + 1) * per_shard - 1]) for d in range(D)]
             if max(totals) > cap:
                 cap = _pow2_at_least(
@@ -1171,7 +1210,7 @@ class JaxDemuxEngine:
                         gplan, dev_in, pack_mode, L, step, cap, extra
                     )
                 )
-                per_shard = cap * wcols + R_total_pad + 1
+                per_shard = cap * wcols + nw + 1
                 totals = [
                     int(out_np[(d + 1) * per_shard - 1]) for d in range(D)
                 ]
@@ -1181,8 +1220,8 @@ class JaxDemuxEngine:
             for d in range(D):
                 o = out_np[d * per_shard : (d + 1) * per_shard]
                 rec = self._unpack_rec(o, cap, wcols, wbits)
-                counts = o[cap * wcols : cap * wcols + R_total_pad]
-                for r in np.nonzero(counts > self.K)[0]:
+                over = o[cap * wcols : cap * wcols + nw]
+                for r in _over_rows(over, R_total_pad):
                     if row_reads[d][r] >= 0:
                         overflow_reads.add(int(row_reads[d][r]))
                 with _phase("assemble.host"):
@@ -1264,7 +1303,7 @@ class JaxDemuxEngine:
         slices — entry order == host row order, so the native encoders'
         exception positions (entry * L + col) land on the right rows."""
         S, E, F = plan.S, plan.E, plan.F
-        W = self.ends_window
+        W_l, W_r = self.ends_wl, self.ends_wr
         ls = np.zeros(F, dtype=np.int32)
         if S:
             ls[:S] = np.fromiter(
@@ -1272,15 +1311,16 @@ class JaxDemuxEngine:
                 dtype=np.int32, count=S,
             )
         if E:
-            ls[S:F] = W
+            ls[S:F:2] = W_l
+            ls[S + 1 : F : 2] = W_r
         offs = np.zeros(F, dtype=np.int64)
         if F > 1:
             np.cumsum(ls[:-1], dtype=np.int64, out=offs[1:])
         parts = [seq_bytes[r] for r in plan.simple_reads]
         for r in plan.ends_reads:
             s = seq_bytes[r]
-            parts.append(s[:W])
-            parts.append(s[len(s) - W :])
+            parts.append(s[:W_l])
+            parts.append(s[len(s) - W_r :])
         return b"".join(parts), offs, ls
 
     def _pack_host_rows(
@@ -1462,12 +1502,12 @@ class JaxDemuxEngine:
                 packed.ctypes.data_as(ctypes.c_char_p),
             )
         elif F:
-            W = self.ends_window
+            W_l, W_r = self.ends_wl, self.ends_wr
             entries = [seq_bytes[r] for r in plan.simple_reads]
             for r in plan.ends_reads:
                 s = seq_bytes[r]
-                entries.append(s[:W])
-                entries.append(s[len(s) - W :])
+                entries.append(s[:W_l])
+                entries.append(s[len(s) - W_r :])
             rows = np.zeros((F, L), dtype=np.uint8)
             for i, sb in enumerate(entries):
                 e = dna.encode(sb)
@@ -1560,7 +1600,8 @@ class JaxDemuxEngine:
             interpret=self._on_cpu,
             pack_mode=pack_mode,
             L_rows=L,
-            ends_w=self.ends_window,
+            ends_w=self.ends_wl,
+            ends_wr=self.ends_wr,
             halo=self.halo,
             cat_align=self.cat_align,
             meta_mode="wire",
@@ -1581,7 +1622,7 @@ class JaxDemuxEngine:
             K=self.K, H_cap=H_cap, padding=PADDING,
             use_pallas=self.use_pallas, interpret=self._on_cpu,
             pack_mode=pack_mode, L_rows=L,
-            ends_w=self.ends_window, halo=self.halo,
+            ends_w=self.ends_wl, ends_wr=self.ends_wr, halo=self.halo,
             cat_align=self.cat_align, meta_mode="wire", S_pad=0,
         )
         if extra:

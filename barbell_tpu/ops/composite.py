@@ -526,12 +526,16 @@ def _unpack_meta(meta, with_ends: bool = False):
 
 
 def _derive_meta(
-    rowdesc, chunk_meta, S_pad: int, L: int, ends_w: int, halo: int,
-    padding: int, with_ends: bool,
+    rowdesc, chunk_meta, S_pad: int, L: int, ends_w: int, ends_wr: int,
+    halo: int, padding: int, with_ends: bool,
 ):
     """Device-side metadata synthesis from the 4-byte/row descriptor
     (``meta_mode='desc'``): full per-row metadata never crosses the
     wire — it is a pure function of (read length, row type, W, L).
+    ``ends_w``/``ends_wr`` are the per-side window widths (prefix /
+    suffix; ``ends_wr == 0`` means symmetric) — the filter presets
+    bound the two read ends differently (`@prev_left` chains anchor
+    left), so the suffix window can ship narrower than the prefix.
 
     ``rowdesc`` is int32 per HOST row, low 2 bits a type tag, the rest
     the payload:
@@ -556,7 +560,8 @@ def _derive_meta(
     R_host_pad = rowdesc.shape[0]
     tag = rowdesc & 3
     n = rowdesc >> 2  # rowdesc >= 0: arithmetic shift is logical here
-    W = jnp.int32(ends_w)
+    Wl = jnp.int32(ends_w)
+    Wr = jnp.int32(ends_wr if ends_wr else ends_w)
     rowid = jnp.arange(R_host_pad, dtype=jnp.int32)
     cm = _unpack_meta(chunk_meta, with_ends=with_ends)
     ci = jnp.clip(n, 0, chunk_meta.shape[0] - 1)
@@ -571,33 +576,35 @@ def _derive_meta(
         if twin:
             valid = valid & ~is_chunk
         z = jnp.zeros_like(block_n)
-        # Suffix-claim start, row-local: the prefix claims end positions
-        # [0, W-1-PADDING] and the suffix [C, n] with
-        # C = max(n-W+halo+1, W-PADDING) — claims tile exactly for
-        # n <= 2W-halo-PADDING-1 (the windows overlap mid-read), and
-        # the suffix DP always has >= halo left context at its first
-        # claim.  Must match _materialize's host-side formula.
-        suf_lo = jnp.maximum(halo + 1, 2 * W - padding - block_n)
+        # Suffix-claim start, row-local: the prefix (width Wl) claims
+        # end positions [0, Wl-1-PADDING] and the suffix (width Wr)
+        # [C, n] with C = max(n-Wr+halo+1, Wl-PADDING) — claims tile
+        # exactly for n <= Wl+Wr-halo-PADDING-1 (the windows overlap
+        # mid-read), and the suffix DP always has >= halo left context
+        # at its first claim.  Must match _materialize's host formula.
+        suf_lo = jnp.maximum(halo + 1, Wl + Wr - padding - block_n)
         if not twin:
             tsc = z
-            tec = jnp.where(is_simple, block_n, W)
+            tec = jnp.where(is_simple, block_n, jnp.where(is_pre, Wl, Wr))
             ts = is_simple | is_pre
             te = is_simple | is_suf
             lo = jnp.where(is_suf, suf_lo, 0)
             hi = jnp.where(
-                is_simple, block_n, jnp.where(is_pre, W - 1 - padding, W)
+                is_simple, block_n, jnp.where(is_pre, Wl - 1 - padding, Wr)
             )
-            off = jnp.where(is_suf, block_n - W, 0)
+            off = jnp.where(is_suf, block_n - Wr, 0)
             isrc = z
         else:
             # flip of the corresponding host row, right-aligned at L
-            tsc = jnp.where(is_simple, L - block_n, L - W)
+            tsc = jnp.where(
+                is_simple, L - block_n, jnp.where(is_pre, L - Wl, L - Wr)
+            )
             tec = jnp.full_like(block_n, L)
             ts = is_simple | is_suf  # tag-2 flip = rc PREFIX
             te = is_simple | is_pre  # tag-1 flip = rc SUFFIX
-            lo = jnp.where(is_pre, (L - W) + suf_lo, tsc)
+            lo = jnp.where(is_pre, (L - Wl) + suf_lo, tsc)
             hi = jnp.where(is_suf, L - 1 - padding, L)
-            off = jnp.where(is_pre, block_n - W, 0)
+            off = jnp.where(is_pre, block_n - Wl, 0)
             isrc = jnp.ones_like(block_n)
         # ends rows: prefix host row p, suffix p+1; the barcode-window
         # cover base must be p for both (frow = baserow + suffix?1:0),
@@ -638,8 +645,8 @@ def _derive_meta(
 _DEMUX_STATICS = (
     "gi", "gf", "K", "m", "k_units", "W_words", "top_bit", "Wf",
     "plen", "Wb", "P", "H_cap", "padding", "use_pallas", "interpret",
-    "pack_mode", "L_rows", "ends_w", "halo", "meta_mode", "S_pad",
-    "cat_align", "_stages",
+    "pack_mode", "L_rows", "ends_w", "ends_wr", "halo", "meta_mode",
+    "S_pad", "cat_align", "_stages",
 )
 
 
@@ -674,7 +681,8 @@ def demux_call(
     interpret: bool,
     pack_mode: int = 0,  # 0 nibble, 1 = 2-bit padded, 2 = 2-bit concatenated
     L_rows: int = 0,  # row width (pack_mode 2; other modes derive it)
-    ends_w: int = 0,  # ends-only fast path: end-window width (0 = full scan)
+    ends_w: int = 0,  # ends-only fast path: PREFIX window width (0 = full scan)
+    ends_wr: int = 0,  # SUFFIX window width (0 = symmetric = ends_w)
     halo: int = 0,  # flank halo (meta_mode='desc' derivation)
     meta_mode: str = "wire",  # 'wire' = uploaded meta; 'desc' = derived
     S_pad: int = 0,  # twin-block rows (meta_mode='desc')
@@ -687,7 +695,8 @@ def demux_call(
     window mapping -> barcode rank, eliminating the three intermediate
     host round trips (~30-50ms each on a remote chip) and the host-side
     hit bookkeeping.  Returns one flat int32 array:
-    ``[H_cap * REC_COLS hit records] ++ [R valley counts] ++ [total]``.
+    ``[H_cap * REC_COLS hit records] ++ [ceil(R/32) overflow-bitmask
+    words (bit r: row r had more than K valleys)] ++ [total]``.
     Hits beyond H_cap are dropped on device — the caller must check
     ``total <= H_cap`` and retry with a larger capacity (or fall back).
 
@@ -713,8 +722,8 @@ def demux_call(
             raise ValueError("meta_mode='desc' requires pack_mode 2")
         rowdesc, chunk_meta = meta, simple_idx
         meta = _derive_meta(
-            rowdesc, chunk_meta, S_pad, L_rows, ends_w, halo, padding,
-            with_ends=ends_w > 0,
+            rowdesc, chunk_meta, S_pad, L_rows, ends_w, ends_wr, halo,
+            padding, with_ends=ends_w > 0,
         )
         R_host = rowdesc.shape[0]
         hlen = meta[:R_host, M_TEC]
@@ -877,16 +886,18 @@ def demux_call(
     )
     foff = jnp.where(simple, 0, k_idx * step)
     if ends_w:
-        # Ends rows: the forward cover rows are baserow (prefix, text
-        # offset 0) and baserow+1 (suffix, offset n - W).  Prefix
-        # windows end before W - PADDING < n - W and suffix windows
-        # start past offset + 3 > n - W (valid-range margins), so the
-        # window's home row is decided by ``bstart >= n - W`` alone.
+        # Ends rows: the forward cover rows are baserow (prefix, width
+        # Wl, text offset 0) and baserow+1 (suffix, width Wr, offset
+        # n - Wr).  Prefix-claimed windows end before Wl - PADDING and
+        # suffix windows start past offset + 3 > n - Wr (valid-range
+        # margins), so the window's home row is decided by
+        # ``bstart >= n - Wr`` alone.
+        wr_eff = ends_wr if ends_wr else ends_w
         is_ends = hm[:, M_ENDS] != 0
-        suf = is_ends & (bstart >= h_n - ends_w)
+        suf = is_ends & (bstart >= h_n - wr_eff)
         k_idx = jnp.where(is_ends, suf.astype(jnp.int32), k_idx)
         foff = jnp.where(
-            is_ends, jnp.where(suf, h_n - ends_w, 0), foff
+            is_ends, jnp.where(suf, h_n - wr_eff, 0), foff
         )
     frow = jnp.where(simple, hm[:, M_FSIMPLE], hm[:, M_BASEROW] + k_idx)
     frow = jnp.clip(frow, 0, R - 1)
@@ -1036,8 +1047,26 @@ def demux_call(
             ],
             axis=1,
         ).astype(jnp.int32)
+    # Per-row valley counts are fetched ONLY to flag rows whose valley
+    # count exceeded the top-K lanes (engine falls those reads back to
+    # the scalar path): pack the single bit per row into int32 words —
+    # the count vector was ~R*4 bytes (~24-32KB per 2048-read batch) of
+    # the ~30MB/s fetch, the bitmask is R/8 bytes.
+    over = (count > K).astype(jnp.uint32)
+    nw = (R + 31) // 32
+    over = jnp.concatenate(
+        [over, jnp.zeros(nw * 32 - R, dtype=jnp.uint32)]
+    ).reshape(nw, 32)
+    # disjoint power-of-two lanes: the sum IS the bitwise or
+    words = (over << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+        axis=1, dtype=jnp.uint32
+    )
     return jnp.concatenate(
-        [rec.reshape(-1), count.astype(jnp.int32), total_out[None]]
+        [
+            rec.reshape(-1),
+            jax.lax.bitcast_convert_type(words, jnp.int32),
+            total_out[None],
+        ]
     )
 
 

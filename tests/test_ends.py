@@ -157,18 +157,17 @@ def test_full_scan_desc_matches_wire():
     )
 
 
-def test_cat_align_64_matches_128():
+def test_cat_align_variants_match():
     groups = _groups()
     ids, seqs = _rbk_reads(12, seed=6)
-    a64 = JaxDemuxEngine(
-        groups, devices=_cpu1(), ends_window=1024, cat_align=64
-    )
-    a128 = JaxDemuxEngine(
-        groups, devices=_cpu1(), ends_window=1024, cat_align=128
-    )
-    _assert_tables_equal(
-        a64.demux_batch_table(ids, seqs), a128.demux_batch_table(ids, seqs)
-    )
+    tables = [
+        JaxDemuxEngine(
+            groups, devices=_cpu1(), ends_window=1024, cat_align=a
+        ).demux_batch_table(ids, seqs)
+        for a in (16, 32, 64, 128)
+    ]
+    for t in tables[1:]:
+        _assert_tables_equal(tables[0], t)
 
 
 def test_ends_nibble_fallback_matches():
@@ -265,6 +264,81 @@ def test_ends_overlapping_pair_full_coverage():
     assert tf.n_rows >= len(ids) // 2
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_ends_asymmetric_matches_full_scan(use_pallas):
+    """Per-side windows (W_l != W_r): end-construct reads are
+    row-identical to the full scan (round-5 wire cut — only the left
+    side needs the `@prev_left` chain depth)."""
+    groups = _groups()
+    ids, seqs = _rbk_reads(20, seed=21)
+    full = JaxDemuxEngine(groups, devices=_cpu1(), use_pallas=use_pallas)
+    ends = JaxDemuxEngine(
+        groups, devices=_cpu1(), use_pallas=use_pallas,
+        ends_window=(1024, 512),
+    )
+    _assert_tables_equal(
+        full.demux_batch_table(ids, seqs), ends.demux_batch_table(ids, seqs)
+    )
+
+
+def test_ends_asymmetric_desc_matches_wire():
+    groups = _groups()
+    ids, seqs = _rbk_reads(12, seed=22)
+    desc = JaxDemuxEngine(
+        groups, devices=_cpu1(), ends_window=(1024, 512), meta_mode="desc"
+    )
+    wire = JaxDemuxEngine(
+        groups, devices=_cpu1(), ends_window=(1024, 512), meta_mode="wire"
+    )
+    _assert_tables_equal(
+        desc.demux_batch_table(ids, seqs), wire.demux_batch_table(ids, seqs)
+    )
+
+
+def test_ends_asymmetric_sharded_matches_single():
+    groups = _groups()
+    ids, seqs = _rbk_reads(24, seed=23)
+    single = JaxDemuxEngine(groups, devices=_cpu1(), ends_window=(1024, 512))
+    sharded = JaxDemuxEngine(
+        groups, devices=jax.devices(), ends_window=(1024, 512)
+    )
+    t1 = single.demux_batch_table(ids, seqs)
+    t2 = sharded.demux_batch_table(ids, seqs)
+    assert sharded.last_dispatch == "sharded"
+    _assert_tables_equal(t1, t2)
+
+
+def test_ends_asymmetric_overlap_full_coverage():
+    """Asymmetric windows in the overlap regime (L < n <=
+    W_l+W_r-halo-PADDING-1): claims tile exactly, so even mid-read
+    constructs are row-identical to the full scan."""
+    groups = _groups()
+    W = (1024, 512)  # coverage ceiling 1536-halo-PADDING-1 = 1402 for RBK
+    rng = random.Random(24)
+    bcs = default_barcodes(96)
+    ids, seqs = [], []
+    i = 0
+    for n_total in (1100, 1200, 1300, 1390):
+        for frac in (0.0, 0.3, 0.5, 0.66, 0.85):
+            label, bseq = bcs[rng.randrange(96)]
+            ad = rapid_adapter(bseq)
+            pos = int((n_total - len(ad)) * frac)
+            body_l = bytes(random_sequence(rng, pos))
+            body_r = bytes(random_sequence(rng, n_total - len(ad) - pos))
+            seq = body_l + ad + body_r
+            if rng.random() < 0.5:
+                seq = dna.reverse_complement_bytes(seq)
+            ids.append(f"a{i}")
+            seqs.append(mutate_sequence(rng, seq, 0, 4))
+            i += 1
+    full = JaxDemuxEngine(groups, devices=_cpu1())
+    ends = JaxDemuxEngine(groups, devices=_cpu1(), ends_window=W)
+    tf = full.demux_batch_table(ids, seqs)
+    te = ends.demux_batch_table(ids, seqs)
+    _assert_tables_equal(tf, te)
+    assert tf.n_rows >= len(ids) // 2
+
+
 def test_ends_window_validation():
     groups = _groups()
     with pytest.raises(ValueError):
@@ -273,7 +347,12 @@ def test_ends_window_validation():
         # one W window must fit a row
         JaxDemuxEngine(groups, devices=_cpu1(), ends_window=16384)
     with pytest.raises(ValueError):
-        JaxDemuxEngine(groups, devices=_cpu1(), cat_align=32)
+        JaxDemuxEngine(groups, devices=_cpu1(), cat_align=48)
+    with pytest.raises(ValueError):
+        # both sides must be set together
+        JaxDemuxEngine(groups, devices=_cpu1(), ends_window=(1024, 0))
+    with pytest.raises(ValueError):
+        JaxDemuxEngine(groups, devices=_cpu1(), ends_window=(1024, 8))
     with pytest.raises(ValueError):
         JaxDemuxEngine(groups, devices=_cpu1(), meta_mode="bogus")
 

@@ -152,7 +152,9 @@ def test_sharded_demux_step_matches_single_device():
         ) is None
         else comp.REC_WIRE_COLS
     )
-    per_shard = (R_pad + S_pad) * wcols + (R_pad + S_pad) + 1
+    per_shard = (
+        (R_pad + S_pad) * wcols + (R_pad + S_pad + 31) // 32 + 1
+    )
 
     total = 0
     for d in range(D):
