@@ -37,11 +37,13 @@ class AnnotateConfig:
     # records with stream_index %% world == rank.
     shard: Optional[tuple] = None
     # Ends-only fast path (SURVEY §5.7): long reads ship only their
-    # first/last W bases (full coverage up to 2W-halo-PADDING-1; the
-    # middle of longer reads is not scanned).  None = whole-read scan
-    # (the reference-parity default for annotate); the kit runner
-    # derives W from its preset patterns.
-    ends_window: Optional[int] = None
+    # first/last W bases (full coverage up to W_l+W_r-halo-PADDING-1;
+    # the middle of longer reads is not scanned).  Accepts an int
+    # (symmetric W), a (W_left, W_right) pair, or a two-tier
+    # models.twotier.EndsPlan.  None = whole-read scan (the
+    # reference-parity default for annotate); the kit runner derives
+    # the plan from its preset patterns.
+    ends_window: object = None
 
 
 def _apply_flank_threshold(groups: Sequence[BarcodeGroup], config: AnnotateConfig):
@@ -55,32 +57,34 @@ def _apply_flank_threshold(groups: Sequence[BarcodeGroup], config: AnnotateConfi
     return groups
 
 
+def _jax_engine(groups: Sequence[BarcodeGroup], config: AnnotateConfig):
+    """Device engine for the config: plain full/ends scan, or the
+    two-tier shallow+rescue engine when ``ends_window`` is an
+    :class:`~barbell_tpu.models.twotier.EndsPlan` with a deep tier."""
+    from ..models.pipeline import JaxDemuxEngine
+    from ..models.twotier import EndsPlan, make_ends_engine
+
+    kw = dict(
+        alpha=config.alpha,
+        min_score=config.min_score,
+        min_score_diff=config.min_score_diff,
+    )
+    ew = config.ends_window
+    if isinstance(ew, EndsPlan):
+        return make_ends_engine(list(groups), ew, **kw)
+    return JaxDemuxEngine(list(groups), ends_window=ew, **kw)
+
+
 def _make_engine(groups: Sequence[BarcodeGroup], config: AnnotateConfig):
     backend = config.backend
     if backend == "auto":
         try:
-            from ..models.pipeline import JaxDemuxEngine
-
-            return JaxDemuxEngine(
-                list(groups),
-                alpha=config.alpha,
-                min_score=config.min_score,
-                min_score_diff=config.min_score_diff,
-                ends_window=config.ends_window,
-            )
+            return _jax_engine(groups, config)
         except Exception as exc:  # pragma: no cover - fallback path
             print(f"Device pipeline unavailable ({exc}); falling back to oracle engine")
             backend = "oracle"
     if backend == "jax":
-        from ..models.pipeline import JaxDemuxEngine
-
-        return JaxDemuxEngine(
-            list(groups),
-            alpha=config.alpha,
-            min_score=config.min_score,
-            min_score_diff=config.min_score_diff,
-            ends_window=config.ends_window,
-        )
+        return _jax_engine(groups, config)
     if backend == "oracle":
         return _OracleEngine(groups, config)
     raise ValueError(f"Unknown annotate backend: {backend!r}")

@@ -54,24 +54,24 @@ class KitRunConfig:
     full_scan: bool = False
 
 
-def ends_window_for_patterns(patterns, groups) -> Optional[int]:
-    """Minimal ends-scan window W (bases) that discovers every hit the
-    given filter patterns can accept, or ``None`` when a pattern is not
-    positionally bounded (full scan required).
+def _ends_bounds(patterns, groups):
+    """Positional end-depth bounds of the given filter patterns, or
+    ``None`` when some element is not positionally bounded (full scan
+    required).
 
-    Bounding: an element anchored ``@left(a..b)`` has read_start_bar <=
-    b, so its flank ends by ``b + EXT`` where ``EXT = flank_len + k``
-    bounds one match's on-read extent; ``@prev_left(a..b)`` chains off
-    the previous element's end bound; ``@right(a..b)`` has its end
-    within ``b`` of the read end (depth ``b + EXT`` covers its start
-    too).  Strand symmetry (rc-sequenced reads mirror every construct)
-    makes one depth D cover both read ends, and the suffix row's halo
-    exclusion adds ``halo + 1``.  W is rounded up to a 128-base
-    granularity: every base of W is shipped twice per long read over
-    the ~30MB/s tunnel (the binding resource — round-4 A/Bs), so W
-    hugs the derived depth, while the compiled-shape universe stays
-    bounded because the engine's row width is pow2(W) and the W values
-    themselves are preset-derived constants.
+    Returns ``(first, right, deep, chain_hi, ext, halo)``:
+
+    * ``first`` — max flank-end depth of any chain's FIRST link (an
+      ``@left(a..b)`` element: read_start_bar <= b, so its flank ends
+      by ``b + ext`` where ``ext = flank_len + k`` bounds one match's
+      on-read extent)
+    * ``right`` — max flank-end depth from the read's RIGHT end of any
+      ``@right(a..b)`` element (depth ``b + ext`` covers its start too)
+    * ``deep`` — max flank-end depth of any FULL ``@prev_left`` chain
+      (each link chains off the previous element's end bound)
+    * ``chain_hi`` — max ``@prev_left`` upper bound (the two-tier
+      rescue trigger's reach)
+    * ``ext``/``halo`` — the engine extent/halo constants
 
     Matches the positional semantics of
     :func:`barbell_tpu.stages.pattern.match_pattern` (reference
@@ -87,30 +87,84 @@ def ends_window_for_patterns(patterns, groups) -> Optional[int]:
         oracle.flank_window_span(len(g.flank_masks), int(g.k_cutoff))
         for g in groups
     ) + PADDING + 2
-    depth = 0
+    first = right = deep = chain_hi = 0
     for pat in patterns:
         prev = None  # end-position bound of the previous element
         for el in pat.elements:
             if el.relative_to == "left":
                 prev = el.range[1] + ext
+                first = max(first, prev)
             elif el.relative_to == "prev_left":
                 if prev is None:
                     # unanchored prev_left auto-matches (match_pattern),
                     # so the element is unbounded
                     return None
+                chain_hi = max(chain_hi, el.range[1])
                 prev = prev + el.range[1] + ext
             elif el.relative_to == "right":
-                depth = max(depth, el.range[1] + ext)
+                right = max(right, el.range[1] + ext)
                 prev = None  # a prev_left after @right would be unbounded
                 continue
             else:
                 return None  # positionally unconstrained element
-            depth = max(depth, prev)
-    W = depth + halo + 1
-    W = -(-W // 128) * 128
+            deep = max(deep, prev)
+    return first, right, deep, chain_hi, ext, halo
+
+
+def _round_w(depth: int, halo: int) -> int:
+    """Window for an end-depth bound: + halo + 1 (rc-strand claims are
+    ``halo`` shallower than forward claims — see twotier module doc),
+    rounded to 128-base granularity: every base of W is shipped per
+    long read over the ~30MB/s tunnel (the binding resource — round-4
+    A/Bs), so W hugs the derived depth, while the compiled-shape
+    universe stays bounded because the engine's row width is pow2(W)
+    and the W values themselves are preset-derived constants."""
+    return -(-(depth + halo + 1) // 128) * 128
+
+
+def ends_window_for_patterns(patterns, groups) -> Optional[int]:
+    """Single-tier symmetric ends window W covering every hit the
+    patterns can accept (incl. full ``@prev_left`` chains), or ``None``
+    when a pattern is not positionally bounded.  The kit runner now
+    uses :func:`ends_plan_for_patterns` (per-side + two-tier); this is
+    the conservative one-window form (``annotate --ends-window`` docs,
+    tests)."""
+    b = _ends_bounds(patterns, groups)
+    if b is None:
+        return None
+    first, right, deep, _chain_hi, _ext, halo = b
+    W = _round_w(max(first, right, deep), halo)
     if W > 8192:  # exceeds the engine row-width ceiling: no benefit
         return None
     return W
+
+
+def ends_plan_for_patterns(patterns, groups):
+    """Per-side, two-tier ends-scan plan (round 5): every read scans at
+    the shallow symmetric window W1 (first-link + ``@right`` bounds);
+    if some pattern chains deeper via ``@prev_left``, triggered reads
+    re-scan at ``(W_deep, W1)`` — only the PREFIX side carries chain
+    depth (chains anchor left; a ``@prev_left`` after ``@right`` is
+    unbounded and returns None = full scan).  See
+    :class:`barbell_tpu.models.twotier.EndsPlan` for the contract.
+    Returns ``None`` when positionally unbounded."""
+    from ..models.twotier import EndsPlan
+
+    b = _ends_bounds(patterns, groups)
+    if b is None:
+        return None
+    first, right, deep, chain_hi, _ext, halo = b
+    W1 = _round_w(max(first, right), halo)
+    W2 = _round_w(deep, halo)
+    if max(W1, W2) > 8192:
+        return None
+    if W2 > W1:
+        return EndsPlan(
+            shallow=(W1, W1),
+            deep=(W2, W1),
+            trigger_margin=chain_hi + halo + 1,
+        )
+    return EndsPlan(shallow=(W1, W1))
 
 
 def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
@@ -153,12 +207,21 @@ def demux_using_kit(fastq_files: Sequence[str], config: KitRunConfig) -> None:
             _pfs(s)
             for s in preset_patterns(kit_info.pattern_class, config.maximize)
         ]
-        annotate_config.ends_window = ends_window_for_patterns(wpats, wgroups)
-        if annotate_config.ends_window:
-            print(
+        plan = ends_plan_for_patterns(wpats, wgroups)
+        annotate_config.ends_window = plan
+        if plan is not None:
+            msg = (
                 f"Ends-only scan: long reads ship their first/last "
-                f"{annotate_config.ends_window} bases (preset windows are "
-                f"positional; --full-scan restores whole-read scanning)"
+                f"{plan.shallow[0]} bases"
+            )
+            if plan.deep:
+                msg += (
+                    f" (+ deep {plan.deep[0]}-base left rescan for "
+                    f"chain-boundary reads)"
+                )
+            print(
+                msg + " (preset windows are positional; --full-scan "
+                "restores whole-read scanning)"
             )
 
     if config.stream and not config.verbose:
@@ -246,10 +309,19 @@ def _demux_using_kit_streaming(
     staged trim instead keys a whole-file map, so trim output can
     differ only for (malformed) inputs whose read ids recur outside
     their own run — see docs/SEMANTICS.md deviations.
+
+    Round 5: the per-batch work is COLUMNAR (kit_columnar helpers) —
+    structure labels, filter matching, cut slicing and TSV lines come
+    straight from the engine's HitTable with no per-hit objects; only
+    runs that actually merge multiple reads' rows (duplicate ids,
+    outside the parity contract's common case) fall back to the object
+    path.  Byte-identity streamed == staged enforced by
+    tests/test_stages.py either way.
     """
     from collections import Counter, deque
 
     from ..models.barcodes import BarcodeGroup
+    from ..models.hittable import emit_tsv_lines
     from ..models.pipeline import engine_map_batches
     from ..models.records import AnnotationWriter
     from ..utils.fastx import split_fastq_header, validate_fastq_paths
@@ -258,6 +330,16 @@ def _demux_using_kit_streaming(
     from .annotate import _apply_flank_threshold, _make_engine
     from .inspect import get_group_structure, print_pattern_summary
     from .filter import check_filter_pass
+    from .kit_columnar import (
+        CompiledPatterns,
+        StructureLabeler,
+        TableAdapter,
+        cut_strings,
+        kit_slice_label,
+        matches_for_rows,
+        segment_table,
+        trim_slices,
+    )
     from .trim import _ThreadedWriterPool, _WriterPool, process_read_and_anno
 
     out = config.output_folder
@@ -267,6 +349,8 @@ def _demux_using_kit_streaming(
         group.display(5)
     groups = _apply_flank_threshold(groups, annotate_config)
     engine = _make_engine(groups, annotate_config)
+    if not hasattr(engine, "demux_batch_table"):
+        engine = TableAdapter(engine, groups)
 
     pattern_strs = preset_patterns(kit_info.pattern_class, config.maximize)
     patterns = [pattern_from_str(p) for p in pattern_strs]
@@ -299,6 +383,8 @@ def _demux_using_kit_streaming(
     TOTAL, KEPT, SPLIT, FAILED = 0, 1, 2, 3
     pattern_count: Counter = Counter()
     bucket_size = 250
+    labeler = StructureLabeler(bucket_size)
+    cpats = CompiledPatterns(patterns, engine.labels)
 
     anno_fh = open(os.path.join(out, "annotation.tsv"), "w")
     anno_writer = AnnotationWriter(anno_fh)
@@ -312,12 +398,15 @@ def _demux_using_kit_streaming(
     else:
         writers = _WriterPool(out, config.gzip)
 
-    # One run in flight: rows are the run's merged annotation rows
-    # (pre-cut until flushed), recs its FASTQ records (including
-    # same-id records that contributed no rows — the staged trim's id
-    # map hands those the run's annotations too).
+    # One run in flight.  members holds per member read-with-rows a
+    # (table, seg_start, seg_len, label, win, passed, lines) context;
+    # recs the run's FASTQ records (including same-id records that
+    # contributed no rows — the staged trim's id map hands those the
+    # run's annotations too).  Single-member runs (unique read ids —
+    # every well-formed input) flush columnar; multi-member runs merge
+    # rows and fall back to the object path.
     pend_id: Optional[str] = None
-    pend_rows: list = []
+    pend_members: list = []
     pend_recs: list = []
     # A run's records stay buffered until the run closes; bound the
     # buffer so a (malformed) file of millions of same-id records
@@ -325,48 +414,110 @@ def _demux_using_kit_streaming(
     # for inputs already outside the parity contract.
     _RUN_CAP = 100_000
 
+    def write_trimmed(results, desc) -> None:
+        if results:
+            progress.inc(KEPT)
+        else:
+            progress.inc(FAILED)
+            if failed_fh is not None:
+                failed_fh.write(pend_id + "\n")
+        if len(results) > 1:
+            progress.inc(SPLIT)
+        for tseq, tqual, grp, suffix in results:
+            w = writers.get(grp)
+            header = f"{pend_id}{suffix} {desc}" if desc else f"{pend_id}{suffix}"
+            w.write_record(header.encode("ascii"), bytes(tseq), bytes(tqual))
+
     def flush_run() -> None:
-        if pend_id is None or not pend_rows:
+        if pend_id is None or not pend_members:
             return
-        label = get_group_structure(pend_rows, bucket_size)
+        if len(pend_members) > 1:
+            # duplicate-id run: merge rows, object path (parity)
+            rows = []
+            for table, s, l, _lab, _w, _p, _lines in pend_members:
+                rows.extend(matches_for_rows(table, s, l))
+            label = get_group_structure(rows, bucket_size)
+            ppr_fh.write(f"{pend_id}\t{label}\n")
+            pattern_count[label] += 1
+            if not check_filter_pass(rows, patterns):
+                return
+            filt_writer.write_rows(rows)
+            for desc, seq, qual in pend_recs:
+                write_trimmed(
+                    process_read_and_anno(
+                        seq, qual, rows, label_config,
+                        skip_trim=False, flip=False,
+                    ),
+                    desc,
+                )
+            return
+        table, s, l, label, win, passed, lines = pend_members[0]
         ppr_fh.write(f"{pend_id}\t{label}\n")
         pattern_count[label] += 1
-        if not check_filter_pass(pend_rows, patterns):
+        if not passed:
             return
-        filt_writer.write_rows(pend_rows)
+        cuts = cpats.cuts[win]
+        cstrs = cut_strings(cuts, l)
+        filt_writer.write_lines(
+            [line + cs for line, cs in zip(lines, cstrs)]
+        )
+        c = table.cols
+        rsf = c["rsf"][s : s + l].tolist()
+        ref_ = c["ref"][s : s + l].tolist()
+        row_labels = [table.labels[k] for k in c["label"][s : s + l].tolist()]
         for desc, seq, qual in pend_recs:
-            results = process_read_and_anno(
-                seq, qual, pend_rows, label_config, skip_trim=False, flip=False
-            )
-            if results:
-                progress.inc(KEPT)
-            else:
-                progress.inc(FAILED)
-                if failed_fh is not None:
-                    failed_fh.write(pend_id + "\n")
-            if len(results) > 1:
-                progress.inc(SPLIT)
-            for tseq, tqual, grp, suffix in results:
-                w = writers.get(grp)
-                header = f"{pend_id}{suffix} {desc}" if desc else f"{pend_id}{suffix}"
-                w.write_record(header.encode("ascii"), bytes(tseq), bytes(tqual))
+            results = []
+            for slice_count, (st, en, rows_idx) in enumerate(
+                trim_slices(cuts, rsf, ref_, len(seq))
+            ):
+                if st >= en:
+                    continue
+                suffix = "" if slice_count == 0 else f"_{slice_count}"
+                results.append(
+                    (
+                        seq[st:en],
+                        qual[st:en],
+                        kit_slice_label(rows_idx, row_labels),
+                        suffix,
+                    )
+                )
+            write_trimmed(results, desc)
 
     try:
-        for ids, seqs, per_read in engine_map_batches(engine, batches()):
+        for ids, seqs, table in engine_map_batches(
+            engine, batches(), method="demux_batch_table"
+        ):
             descs, quals = meta_queue.popleft()
-            anno_writer.write_rows([m for ms in per_read for m in ms])
-            for rid, desc, seq, qual, matches in zip(ids, descs, seqs, quals, per_read):
+            lines = emit_tsv_lines(table)
+            anno_writer.write_lines(lines)
+            seg_start, seg_len = segment_table(table)
+            slabels = labeler.labels(table, seg_start, seg_len)
+            win, passed = cpats.match(table, seg_start, seg_len)
+            seg_start_l = seg_start.tolist()
+            seg_len_l = seg_len.tolist()
+            win_l = win.tolist()
+            passed_l = passed.tolist()
+            for i, rid in enumerate(ids):
                 progress.inc(TOTAL)
-                if matches:
+                l = seg_len_l[i]
+                if l:
+                    s = seg_start_l[i]
+                    member = (
+                        table, s, l, slabels[i], win_l[i], passed_l[i],
+                        lines[s : s + l],
+                    )
                     if rid != pend_id:
                         flush_run()
-                        pend_id, pend_rows, pend_recs = rid, [], []
-                    pend_rows.extend(matches)
-                    pend_recs.append((desc, seq, qual))
+                        pend_id = rid
+                        pend_members = [member]
+                        pend_recs = [(descs[i], seqs[i], quals[i])]
+                    else:
+                        pend_members.append(member)
+                        pend_recs.append((descs[i], seqs[i], quals[i]))
                 elif rid == pend_id:
                     # row-less record of the live run's id: trimmed with
                     # the run's annotations (the staged trim map does)
-                    pend_recs.append((desc, seq, qual))
+                    pend_recs.append((descs[i], seqs[i], quals[i]))
                 # else: zero-match read — it has no annotation rows, so
                 # it neither splits the run (it is invisible to the
                 # staged inspect/filter grouping) nor gets trimmed
@@ -376,7 +527,7 @@ def _demux_using_kit_streaming(
                         f"{_RUN_CAP} consecutive records; flushing early"
                     )
                     flush_run()
-                    pend_id, pend_rows, pend_recs = None, [], []
+                    pend_id, pend_members, pend_recs = None, [], []
             progress.refresh()
         flush_run()
         anno_writer.finish()
