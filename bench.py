@@ -162,24 +162,42 @@ def run_kit_pipeline_bench():
     import shutil
     import tempfile
 
+    from barbell_tpu.kits.database import get_kit_info
+    from barbell_tpu.kits.presets import preset_patterns
     from barbell_tpu.models.barcodes import BarcodeGroup
-    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.models.twotier import make_ends_engine
     from barbell_tpu.ops.edit_model import get_edit_cut_off
     from barbell_tpu.sim.compare import assignments_from_trimmed
-    from barbell_tpu.stages.kit import KitRunConfig, demux_using_kit
+    from barbell_tpu.stages.kit import (
+        KitRunConfig,
+        demux_using_kit,
+        ends_plan_for_patterns,
+    )
+    from barbell_tpu.stages.pattern import pattern_from_str
 
     reads = make_reads_nbd(N_READS, seed=11)
 
-    # Warm the process's device executables with the same kit's engine
-    # on a same-shape batch (the load is per-process server-side; any
-    # engine with identical shapes absorbs it for the kit runner too).
+    # Warm the process's device executables with the SAME engine config
+    # the kit runner will build (the maximize preset's two-tier ends
+    # plan) on a same-shape batch — the load is per-process
+    # server-side; an engine with identical shapes absorbs it.
     wgroups = BarcodeGroup.from_kit("SQK-NBD114-96", False)
     for g in wgroups:
         g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
-    wengine = JaxDemuxEngine(wgroups)
+    wpats = [
+        pattern_from_str(s)
+        for s in preset_patterns(
+            get_kit_info("SQK-NBD114-96").pattern_class, True
+        )
+    ]
+    wplan = ends_plan_for_patterns(wpats, wgroups)
+    print(f"# kit ends plan: {wplan}", file=sys.stderr)
+    wengine = make_ends_engine(wgroups, wplan)
     warm = reads[: min(BATCH, len(reads))]
     t0 = time.perf_counter()
     wengine.demux_batch([r[0] for r in warm], [r[1] for r in warm])
+    if hasattr(wengine, "warm_deep"):
+        wengine.warm_deep()
     warmup_s = time.perf_counter() - t0
     print(f"# kit warmup batch (cold load): {warmup_s:.1f}s", file=sys.stderr)
     del wengine
@@ -299,6 +317,38 @@ def measure_cpu_anchor(groups, reads, n_threads=ANCHOR_THREADS):
     return n / dt, total
 
 
+def measure_wire(up_bytes: int = 1 << 21, down_bytes: int = 1 << 17):
+    """Measured tunnel bandwidth right now: (up_MB/s, down_MB/s).
+
+    Recorded per pass NEXT TO the throughput numbers (never used to
+    normalize them): the tunnel's hour-to-hour bandwidth swing (~1.4x)
+    owns the headline sign on this wire-bound engine, so every capture
+    must be self-diagnosing — a 0.7x pass at 15MB/s reads as "bad
+    hour", at 35MB/s as "regression" (VERDICT r04 weak #5).
+
+    Per CLAUDE.md, only fetch-forced timings are real on this backend:
+    the up probe forces materialization with a device reduction and a
+    1-element fetch; the down probe synthesizes its buffer on device
+    from a scalar and fetches all of it.  Fresh random content defeats
+    the remote runtime's repeated-input result cache."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.random.randint(0, 256, size=up_bytes, dtype=np.uint8)
+    t0 = time.perf_counter()
+    x = jnp.asarray(buf)
+    seed = int(np.asarray(x[:: 4096].astype(jnp.int32).sum()))
+    up_dt = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    y = (
+        jnp.arange(down_bytes, dtype=jnp.int32) + jnp.int32(seed & 0xFF)
+    ).astype(jnp.uint8)
+    np.asarray(y)
+    down_dt = time.perf_counter() - t0
+    return up_bytes / up_dt / 1e6, down_bytes / down_dt / 1e6
+
+
 #: populated by _probe_backend; recorded in the output JSON so a bench
 #: that survived a transient outage says so.
 _PROBE_ATTEMPTS = 0
@@ -386,14 +436,17 @@ def main():
         g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
     # Kit-preset demux is the headline metric, and the kit runner's
     # default is the SURVEY §5.7 ends-only scan (long reads ship only
-    # their end windows; W derived from the kit's safe preset patterns).
-    # BENCH_ENDS=0 measures the whole-read scan; --use-extended always
-    # scans whole reads (fusion templates target mid-read constructs).
-    ends_window = None
+    # their end windows; the per-side/two-tier plan derived from the
+    # kit's safe preset patterns — round 5).  BENCH_ENDS=0 measures the
+    # whole-read scan; --use-extended always scans whole reads (fusion
+    # templates target mid-read constructs).
+    from barbell_tpu.models.twotier import make_ends_engine
+
+    plan = None
     if os.environ.get("BENCH_ENDS", "1") != "0" and not cfg["extended"]:
         from barbell_tpu.kits.database import get_kit_info
         from barbell_tpu.kits.presets import preset_patterns
-        from barbell_tpu.stages.kit import ends_window_for_patterns
+        from barbell_tpu.stages.kit import ends_plan_for_patterns
         from barbell_tpu.stages.pattern import pattern_from_str
 
         pats = [
@@ -402,13 +455,21 @@ def main():
                 get_kit_info(cfg["kit"]).pattern_class, False
             )
         ]
-        ends_window = ends_window_for_patterns(pats, groups)
-        print(f"# ends-only scan window: {ends_window}", file=sys.stderr)
-    engine = JaxDemuxEngine(groups, ends_window=ends_window)
+        plan = ends_plan_for_patterns(pats, groups)
+        print(f"# ends-scan plan: {plan}", file=sys.stderr)
+    engine = make_ends_engine(groups, plan)
 
     make = cfg["make"]
     warm = make(BATCH, seed=99)
     engine.demux_batch([r[0] for r in warm], [r[1] for r in warm])
+    if hasattr(engine, "warm_deep"):
+        # compile the rescue tier's shapes outside the timed passes
+        t0 = time.perf_counter()
+        engine.warm_deep()
+        print(
+            f"# deep-tier warmup: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
 
     # The shared chip's throughput varies +/-20% minute to minute: time
     # REPEAT fresh datasets (fresh per pass — the remote runtime caches
@@ -437,7 +498,14 @@ def main():
     pass_times = []
     pass_anchor_rps = []
     pass_ratios = []
+    pass_wire = []
     for rep in range(REPEAT):
+        up_mbps, down_mbps = measure_wire()
+        pass_wire.append((round(up_mbps, 1), round(down_mbps, 1)))
+        print(
+            f"# wire probe: up {up_mbps:.1f} MB/s, down {down_mbps:.1f} MB/s",
+            file=sys.stderr,
+        )
         reads = make(N_READS, seed=rep)
         ids = [r[0] for r in reads]
         seqs = [r[1] for r in reads]
@@ -545,7 +613,10 @@ def main():
                 "value": round(rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(float(np.median(pass_ratios)), 3),
-                "ends_window": ends_window or 0,
+                "ends_window": plan.shallow[0] if plan else 0,
+                "ends_deep": (plan.deep[0] if plan and plan.deep else 0),
+                "rescued": getattr(engine, "total_rescued", 0),
+                "pass_wire_mbps": pass_wire,
                 **extra,
                 **(
                     {"probe_attempts": _PROBE_ATTEMPTS}

@@ -113,6 +113,31 @@ def build_engines():
             (JaxDemuxEngine(groups, meta_mode="wire"), "meta_wire", BATCH, None),
             (JaxDemuxEngine(groups, meta_mode="desc"), "meta_desc", BATCH, None),
         )
+    elif MODE == "twotier":
+        # round-4 single-tier symmetric window vs the round-5 two-tier
+        # per-side plan (shallow 512 every read + deep-left rescue)
+        from barbell_tpu.models.twotier import make_ends_engine
+
+        W = _preset_window(groups)
+        plan = _preset_plan(groups)
+        arms = (
+            (JaxDemuxEngine(groups, ends_window=W), f"single_tier_{W}", BATCH, None),
+            (
+                make_ends_engine(groups, plan),
+                f"two_tier_{plan.shallow[0]}", BATCH, None,
+            ),
+        )
+    elif MODE == "align2":
+        # 32 vs 64 under the round-5 two-tier shallow config (ends rows
+        # are exactly 128B of content at W1=512, so alignment should
+        # only matter for whole-shipped short reads — measure it)
+        from barbell_tpu.models.twotier import make_ends_engine
+
+        plan = _preset_plan(groups)
+        arms = (
+            (make_ends_engine(groups, plan, cat_align=64), "tt_align64", BATCH, None),
+            (make_ends_engine(groups, plan, cat_align=32), "tt_align32", BATCH, None),
+        )
     else:
         raise SystemExit(f"unknown AB_MODE {MODE!r}")
     return arms
@@ -125,6 +150,15 @@ def _preset_window(groups):
 
     pats = [pattern_from_str(s) for s in preset_patterns("single", False)]
     return ends_window_for_patterns(pats, groups)
+
+
+def _preset_plan(groups):
+    from barbell_tpu.kits.presets import preset_patterns
+    from barbell_tpu.stages.kit import ends_plan_for_patterns
+    from barbell_tpu.stages.pattern import pattern_from_str
+
+    pats = [pattern_from_str(s) for s in preset_patterns("single", False)]
+    return ends_plan_for_patterns(pats, groups)
 
 
 def run_pass(engine, reads, batch, depth=None):
@@ -168,6 +202,8 @@ def main():
     for eng, nm, bsz, dp in (arm_a, arm_b):
         t0 = time.perf_counter()
         run_pass(eng, warm, bsz, dp)
+        if hasattr(eng, "warm_deep"):
+            eng.warm_deep()  # compile the rescue tier's shapes too
         log(f"warm {nm}: {time.perf_counter() - t0:.1f}s")
 
     times = {name_a: [], name_b: []}

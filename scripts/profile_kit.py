@@ -40,29 +40,31 @@ def main():
     )
 
     from barbell_tpu.models.barcodes import BarcodeGroup
-    from barbell_tpu.models.pipeline import JaxDemuxEngine
+    from barbell_tpu.models.twotier import make_ends_engine
     from barbell_tpu.ops.edit_model import get_edit_cut_off
     from barbell_tpu.stages.kit import KitRunConfig, demux_using_kit
 
     reads = bench.make_reads_nbd(n_reads, seed=11)
 
-    # absorb the per-process executable load with a same-shape engine
+    # absorb the per-process executable load with the SAME engine
+    # config the kit runner will build (the maximize two-tier plan)
     wgroups = BarcodeGroup.from_kit("SQK-NBD114-96", False)
     for g in wgroups:
         g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
-    # warm BOTH scan modes the kit runner might take
     from barbell_tpu.kits.presets import preset_patterns
-    from barbell_tpu.stages.kit import ends_window_for_patterns
+    from barbell_tpu.stages.kit import ends_plan_for_patterns
     from barbell_tpu.stages.pattern import pattern_from_str
 
     pats = [pattern_from_str(s) for s in preset_patterns("double", True)]
-    W = ends_window_for_patterns(pats, wgroups)
+    plan = ends_plan_for_patterns(pats, wgroups)
     warm = reads[: min(batch, len(reads))]
     t0 = time.perf_counter()
-    weng = JaxDemuxEngine(wgroups, ends_window=W)
+    weng = make_ends_engine(wgroups, plan)
     weng.demux_batch([r[0] for r in warm], [r[1] for r in warm])
+    if hasattr(weng, "warm_deep"):
+        weng.warm_deep()
     print(
-        f"# warmup (cold load): {time.perf_counter() - t0:.1f}s, W={W}",
+        f"# warmup (cold load): {time.perf_counter() - t0:.1f}s, plan={plan}",
         file=sys.stderr,
     )
     del weng

@@ -35,27 +35,31 @@ def main():
     groups = BarcodeGroup.from_kit(cfg["kit"], cfg["extended"])
     for g in groups:
         g.set_flank_threshold(get_edit_cut_off(g.get_effective_len()))
-    # mirror bench.py: kit configs profile the ends-only scan unless
-    # BENCH_ENDS=0
-    ends_window = None
+    # mirror bench.py: kit configs profile the two-tier ends scan
+    # unless BENCH_ENDS=0
+    plan = None
     if os.environ.get("BENCH_ENDS", "1") != "0" and not cfg["extended"]:
         from barbell_tpu.kits.database import get_kit_info
         from barbell_tpu.kits.presets import preset_patterns
-        from barbell_tpu.stages.kit import ends_window_for_patterns
+        from barbell_tpu.stages.kit import ends_plan_for_patterns
         from barbell_tpu.stages.pattern import pattern_from_str
 
         pats = [
             pattern_from_str(s)
             for s in preset_patterns(get_kit_info(cfg["kit"]).pattern_class, False)
         ]
-        ends_window = ends_window_for_patterns(pats, groups)
-        print(f"# ends window: {ends_window}", file=sys.stderr)
-    engine = JaxDemuxEngine(groups, ends_window=ends_window)
+        plan = ends_plan_for_patterns(pats, groups)
+        print(f"# ends plan: {plan}", file=sys.stderr)
+    from barbell_tpu.models.twotier import make_ends_engine
+
+    engine = make_ends_engine(groups, plan)
 
     make = cfg["make"]
     warm = make(batch, seed=99)
     t0 = time.perf_counter()
     engine.demux_batch([r[0] for r in warm], [r[1] for r in warm])
+    if hasattr(engine, "warm_deep"):
+        engine.warm_deep()
     print(f"# warmup batch: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     pipeline.TIMINGS.clear()
 
