@@ -141,6 +141,15 @@ def _pow2_at_least(x: int, lo: int = 8) -> int:
     return n
 
 
+def _retry_cap(total: int, h_cap: int) -> int:
+    """Overflow-retry hit capacity: the measured total + 12.5% slack at
+    a 256-granule (strand-split rank needs %% 256 == 0), strictly above
+    the failed cap.  The old rule doubled to the next pow2 >= 2*H_cap,
+    which left NBD fetching a ~2x-oversized record buffer forever via
+    the sticky hint."""
+    return max(-(-(total + total // 8) // 256) * 256, h_cap + 256)
+
+
 def _over_words(R: int) -> int:
     """int32 words of demux_call's packed overflow bitmask for R rows."""
     return (R + 31) // 32
@@ -636,7 +645,7 @@ class JaxDemuxEngine:
                 # Hit-dense batch (many constructs per read): one retry
                 # at a larger static capacity (sticky — later batches
                 # start there), then whole-batch fallback.
-                cap = _pow2_at_least(total + total // 8, lo=2 * H_cap)
+                cap = _retry_cap(total, H_cap)
                 self._h_cap_hint = max(self._h_cap_hint, cap)
                 out_np = np.asarray(
                     self._dispatch_group(
@@ -1142,14 +1151,13 @@ class JaxDemuxEngine:
         packets: List[tuple] = []  # (_GroupPlan, packet) group-major
         overflow_reads: set = set()
         if self.ends_window:
+            # per-shard lanes at 1.25/read (+ chunk rows), 256-granule —
+            # see _h_cap
             lanes = max(
-                2 * len(b) + 2 * len(p.rows_meta)
+                len(b) + len(b) // 4 + 2 * len(p.rows_meta) + 16
                 for b, p in zip(buckets, plans)
             )
-            H_cap = max(
-                _row_bucket(max(lanes, 1), lo=8, fine=self.fine_rows),
-                self._h_cap_hint,
-            )
+            H_cap = max(-(-lanes // 256) * 256, self._h_cap_hint)
         else:
             H_cap = max(R_total_pad, self._h_cap_hint)
 
@@ -1201,9 +1209,7 @@ class JaxDemuxEngine:
             per_shard = cap * wcols + nw + 1
             totals = [int(out_np[(d + 1) * per_shard - 1]) for d in range(D)]
             if max(totals) > cap:
-                cap = _pow2_at_least(
-                    max(totals) + max(totals) // 8, lo=2 * H_cap
-                )
+                cap = _retry_cap(max(totals), H_cap)
                 self._h_cap_hint = max(self._h_cap_hint, cap)
                 out_np = np.asarray(
                     self._dispatch_group_sharded(
@@ -1527,19 +1533,19 @@ class JaxDemuxEngine:
 
     def _h_cap(self, B: int, plan, R_total_pad: int) -> int:
         """Initial hit-lane capacity.  Full scan: R_total_pad (>= 1
-        lane/row, ~2/read — the round-1 heuristic).  Ends mode:
-        R_total_pad counts FOUR rows per ends read, but raw hit density
-        is per READ, not per row — lanes stay sized at ~2/read (+2 per
-        chunk row) so the fetch doesn't double with the row count.  The
-        sticky overflow hint still lifts hit-dense workloads once per
-        process."""
+        lane/row, ~2/read — the round-1 heuristic).  Ends mode: raw hit
+        density is per READ (~1.1/read for single-end kits), so lanes
+        start at 1.25/read (+2 per chunk row), rounded to a 256-granule
+        (the strand-split rank kernel needs H_cap %% 256 == 0) — the
+        packed hit records dominate the fetch on the ~30MB/s tunnel.
+        Hit-dense workloads (NBD ~2/read) overflow ONCE and the sticky
+        hint holds the measured cap for the rest of the process (the
+        old 2/read estimate ALSO overflowed on NBD, then doubled to a
+        2x-oversized pow2 cap)."""
         if not self.ends_window:
             return max(R_total_pad, self._h_cap_hint)
-        lanes = 2 * B + 2 * len(plan.rows_meta)
-        return max(
-            _row_bucket(max(lanes, 1), lo=8, fine=self.fine_rows),
-            self._h_cap_hint,
-        )
+        lanes = B + B // 4 + 2 * len(plan.rows_meta) + 16
+        return max(-(-lanes // 256) * 256, self._h_cap_hint)
 
     def _group_scalars(self, gplan: _GroupPlan, step: int):
         """(gi, gf) as STATIC tuples — group constants bake into the

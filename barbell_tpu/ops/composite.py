@@ -79,15 +79,29 @@ class FlankScanOut(NamedTuple):
     packed: jnp.ndarray  # [R_total, 2K+1] int32: K col | K cost | count
 
 
-def _valley_keys(ends, lo, hi, k_scaled, L_key):
-    """Key map (cost*L_key + col) over valley positions, BIG elsewhere."""
+def _valley_keys(ends, lo, hi, k_scaled, L_key, csc=None, cec=None):
+    """Key map (cost*L_key + col) over valley positions, BIG elsewhere.
+
+    The plateau-valley test compares CONTENT neighbors (±inf only at
+    the row's true text boundaries ``[csc, cec]``), then filters to the
+    claim range ``[lo, hi]``: a cost plateau declining THROUGH a claim
+    edge must not spawn a spurious edge valley — the full scan has a
+    deeper valley there (outside this row's claims), and the pallas
+    kernel, which compares real neighbors before range-filtering
+    emission, reports none either (pinned by
+    tests/test_ends.py::test_claim_boundary_exact).  ``csc``/``cec``
+    default to the claim range (whole-text callers, where they
+    coincide)."""
     B, N = ends.shape
     jpos = jnp.arange(N, dtype=jnp.int32)
-    valid = (jpos[None, :] >= lo[:, None]) & (jpos[None, :] <= hi[:, None])
-    e = jnp.where(valid, ends, BIG)
+    if csc is None:
+        csc, cec = lo, hi
+    in_c = (jpos[None, :] >= csc[:, None]) & (jpos[None, :] <= cec[:, None])
+    e = jnp.where(in_c, ends, BIG)
     prv = jnp.concatenate([jnp.full((B, 1), BIG), e[:, :-1]], axis=1)
     nxt = jnp.concatenate([e[:, 1:], jnp.full((B, 1), BIG)], axis=1)
-    isv = (e <= k_scaled) & (e < nxt) & (e <= prv)
+    claim = (jpos[None, :] >= lo[:, None]) & (jpos[None, :] <= hi[:, None])
+    isv = claim & (e <= k_scaled) & (e < nxt) & (e <= prv)
     key = jnp.where(isv, e * L_key + jpos[None, :], BIG)
     return key, isv.sum(axis=1, dtype=jnp.int32)
 
@@ -265,6 +279,8 @@ def _scan_keys(
     k_units: int,
     W_words: int,
     top_bit: int,
+    csc=None,  # content-column range for valley neighbor tests
+    cec=None,  # (defaults to the claim range — whole-text callers)
 ):
     """Top-K flank valley keys (cost*L_key + col) + total count per row."""
     R, L = rows.shape
@@ -273,7 +289,9 @@ def _scan_keys(
 
     if not use_pallas:
         ends = flank_ends(pattern, rows, start_col, end_col, alpha_scaled)
-        key, count = _valley_keys(ends, lo, hi, k_scaled, L_key)
+        key, count = _valley_keys(
+            ends, lo, hi, k_scaled, L_key, csc=csc, cec=cec
+        )
         neg, idx = jax.lax.top_k(-key, K)
         key_top = -neg
     else:
@@ -783,6 +801,7 @@ def demux_call(
         flank, patw, rows, start_col, end_col, v_lo, v_hi, emit_lo, emit_hi,
         alpha_scaled, K=K, use_pallas=use_pallas, interpret=interpret,
         m=m, k_units=k_units, W_words=W_words, top_bit=top_bit,
+        csc=tsc, cec=tec,
     )
 
     # ---- compact valid hits into H_cap lanes ---------------------------

@@ -118,7 +118,20 @@ def _round_w(depth: int, halo: int) -> int:
     long read over the ~30MB/s tunnel (the binding resource — round-4
     A/Bs), so W hugs the derived depth, while the compiled-shape
     universe stays bounded because the engine's row width is pow2(W)
-    and the W values themselves are preset-derived constants."""
+    and the W values themselves are preset-derived constants.
+
+    Tightness (round-5 analysis): ``depth`` is an END bound (b + ext)
+    while the binding rc-claim condition is START-based (flank start <=
+    b suffices), so the pure DISCOVERY bound would be ``b + halo + 1``
+    — ~ext (~110 bases for RBK) shallower.  That slack is NOT shaved:
+    the two-tier rescue trigger fires when a visible flank end is
+    within ``chain_hi + halo + 1`` of W1, so W1 needs ext-sized
+    headroom above the typical first-link flank end (~130 for RBK) or
+    EVERY read rescues (measured 0/96 triggers at W1=512, every read
+    at 384).  For no-chain presets (NBD safe) the tight and current
+    values round to the same 128-granule.  tests/test_ends.py
+    ``test_claim_boundary_exact`` pins the exact claim edges on both
+    strands/sides."""
     return -(-(depth + halo + 1) // 128) * 128
 
 

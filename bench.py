@@ -317,7 +317,7 @@ def measure_cpu_anchor(groups, reads, n_threads=ANCHOR_THREADS):
     return n / dt, total
 
 
-def measure_wire(up_bytes: int = 1 << 21, down_bytes: int = 1 << 17):
+def measure_wire(up_bytes: int = 1 << 21, down_bytes: int = 1 << 20):
     """Measured tunnel bandwidth right now: (up_MB/s, down_MB/s).
 
     Recorded per pass NEXT TO the throughput numbers (never used to
@@ -470,6 +470,7 @@ def main():
             f"# deep-tier warmup: {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
+    measure_wire()  # compile the probe's executables off the clock
 
     # The shared chip's throughput varies +/-20% minute to minute: time
     # REPEAT fresh datasets (fresh per pass — the remote runtime caches

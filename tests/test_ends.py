@@ -339,6 +339,79 @@ def test_ends_asymmetric_overlap_full_coverage():
     assert tf.n_rows >= len(ids) // 2
 
 
+def test_claim_boundary_exact():
+    """Adversarial pin of the claim edges (VERDICT r04 #7): constructs
+    planted so their flank coordinates cross each claim boundary by a
+    few bases, on BOTH strands at BOTH read ends.  A full-scan row must
+    appear in ends mode iff its strand's claim covers it:
+
+      fw row:  ref <= W-1-PADDING  or  ref >= n-W+halo+1
+      rc row:  rsf <= W-halo-1     or  rsf >= n-W+PADDING+1
+
+    (fw claims are valley-END based, rc claims flank-START based — the
+    rc twin rows scan the flipped window, which is why the window
+    derivation needs the halo term; see stages/kit._round_w)."""
+    from barbell_tpu import PADDING
+
+    rng = random.Random(30)
+    groups = _groups()
+    W = 512
+    full = JaxDemuxEngine(groups, devices=_cpu1())
+    ends = JaxDemuxEngine(groups, devices=_cpu1(), ends_window=W)
+    halo = ends.halo
+    label, bseq = default_barcodes(96)[11]
+    ad = rapid_adapter(bseq)
+
+    ids, seqs = [], []
+    n_total = 3600  # > coverage ceiling: middle unscanned, claims bind
+    i = 0
+    for side in ("left", "right"):
+        for strand_rc in (False, True):
+            # sweep the construct start across the relevant boundary
+            for p in range(330, 480, 10):
+                a = ad if not strand_rc else dna.reverse_complement_bytes(ad)
+                pos = p if side == "left" else n_total - p - len(a)
+                seq = (
+                    bytes(random_sequence(rng, pos))
+                    + a
+                    + bytes(random_sequence(rng, n_total - pos - len(a)))
+                )
+                ids.append(f"b{i}")
+                seqs.append(seq)
+                i += 1
+    tf = full.demux_batch_table(ids, seqs)
+    te = ends.demux_batch_table(ids, seqs)
+
+    n_present = n_absent = 0
+    for r in range(len(ids)):
+        n = int(tf.read_lens[r])
+        fsel = tf.cols["reads"] == r
+        esel = te.cols["reads"] == r
+        erows = {
+            tuple(int(te.cols[c][j]) for c in hittable.COLUMNS)
+            for j in np.nonzero(esel)[0]
+        }
+        for j in np.nonzero(fsel)[0]:
+            row = tuple(int(tf.cols[c][j]) for c in hittable.COLUMNS)
+            ref_ = int(tf.cols["ref"][j])
+            rsf = int(tf.cols["rsf"][j])
+            if int(tf.cols["strand"][j]) == 0:
+                want = ref_ <= W - 1 - PADDING or ref_ >= n - W + halo + 1
+            else:
+                want = rsf <= W - halo - 1 or rsf >= n - W + PADDING + 1
+            assert (row in erows) == want, (r, row, want)
+            n_present += want
+            n_absent += not want
+        # ends mode must not invent rows
+        frows = {
+            tuple(int(tf.cols[c][j]) for c in hittable.COLUMNS)
+            for j in np.nonzero(fsel)[0]
+        }
+        assert erows <= frows, r
+    # the sweep really crossed the boundaries in both directions
+    assert n_present >= 10 and n_absent >= 10, (n_present, n_absent)
+
+
 def test_ends_window_validation():
     groups = _groups()
     with pytest.raises(ValueError):
