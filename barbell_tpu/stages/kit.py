@@ -336,7 +336,7 @@ def _demux_using_kit_streaming(
     from ..models.barcodes import BarcodeGroup
     from ..models.hittable import emit_tsv_lines
     from ..models.pipeline import engine_map_batches
-    from ..models.records import AnnotationWriter
+    from ..models.records import AnnotationWriter, CutDirection
     from ..utils.fastx import split_fastq_header, validate_fastq_paths
     from ..utils.fastx_native import iter_fastq_batches_auto
     from ..utils.progress import TRIM_METRICS, ProgressTracker
@@ -421,6 +421,22 @@ def _demux_using_kit_streaming(
     pend_id: Optional[str] = None
     pend_members: list = []
     pend_recs: list = []
+    # Per-batch output buffers: the profiled runner spent ~35% of its
+    # host time in per-read TSV writes (16k write_lines calls/run);
+    # buffering them to one write per batch is byte-identical (order
+    # preserved; the dirty-run object path flushes first).
+    ppr_buf: list = []
+    filt_buf: list = []
+    # winning-pattern cut strings depend only on (pattern, row count)
+    cut_str_cache: dict = {}
+
+    def drain_bufs() -> None:
+        if ppr_buf:
+            ppr_fh.write("".join(ppr_buf))
+            ppr_buf.clear()
+        if filt_buf:
+            filt_writer.write_lines(filt_buf)
+            filt_buf.clear()
     # A run's records stay buffered until the run closes; bound the
     # buffer so a (malformed) file of millions of same-id records
     # cannot exhaust memory — the forced flush only affects grouping
@@ -446,8 +462,10 @@ def _demux_using_kit_streaming(
             return
         if len(pend_members) > 1:
             # duplicate-id run: merge rows, object path (parity)
+            drain_bufs()  # keep file order ahead of direct writes
             rows = []
-            for table, s, l, _lab, _w, _p, _lines in pend_members:
+            for member in pend_members:
+                table, s, l = member[0], member[1], member[2]
                 rows.extend(matches_for_rows(table, s, l))
             label = get_group_structure(rows, bucket_size)
             ppr_fh.write(f"{pend_id}\t{label}\n")
@@ -464,20 +482,59 @@ def _demux_using_kit_streaming(
                     desc,
                 )
             return
-        table, s, l, label, win, passed, lines = pend_members[0]
-        ppr_fh.write(f"{pend_id}\t{label}\n")
+        (table, s, l, label, win, passed, lines, rsf, ref_,
+         row_labels) = pend_members[0]
+        ppr_buf.append(f"{pend_id}\t{label}\n")
         pattern_count[label] += 1
         if not passed:
             return
         cuts = cpats.cuts[win]
-        cstrs = cut_strings(cuts, l)
-        filt_writer.write_lines(
-            [line + cs for line, cs in zip(lines, cstrs)]
+        cstrs = cut_str_cache.get((win, l))
+        if cstrs is None:
+            cstrs = cut_str_cache[(win, l)] = cut_strings(cuts, l)
+        filt_buf.extend(line + cs for line, cs in zip(lines, cstrs))
+        # Fast path for the preset shape (every built-in preset): one
+        # cut group of <= 2 cuts — the slice bounds come straight from
+        # the cut rows, no grouping/sorting (trim_slices) per record.
+        # Mixed-group/3+-cut patterns (custom files) take the general
+        # helper; identical output either way (tests/test_stages.py).
+        n_cuts = len(cuts)
+        simple2 = (
+            n_cuts == 2 and cuts[0][1].group_id == cuts[1][1].group_id
         )
-        c = table.cols
-        rsf = c["rsf"][s : s + l].tolist()
-        ref_ = c["ref"][s : s + l].tolist()
-        row_labels = [table.labels[k] for k in c["label"][s : s + l].tolist()]
+        if simple2 or n_cuts == 1:
+            i1, c1 = cuts[0]
+            if simple2:
+                i2, c2 = cuts[1]
+                st = (
+                    rsf[i1]
+                    if c1.direction == CutDirection.Before
+                    else ref_[i1]
+                )
+                en = (
+                    rsf[i2]
+                    if c2.direction == CutDirection.Before
+                    else ref_[i2]
+                )
+                lab = kit_slice_label([i1, i2], row_labels)
+                en_is_len = False
+            elif c1.direction == CutDirection.Before:
+                st, en = 0, rsf[i1]
+                lab = kit_slice_label([i1], row_labels)
+                en_is_len = False
+            else:
+                st, en = ref_[i1], None  # extends to each record's end
+                lab = kit_slice_label([i1], row_labels)
+                en_is_len = True
+            for desc, seq, qual in pend_recs:
+                e = len(seq) if en_is_len else en
+                if st >= e:
+                    write_trimmed([], desc)
+                else:
+                    write_trimmed(
+                        [(seq[st:e], qual[st:e], lab, "")], desc
+                    )
+            return
         for desc, seq, qual in pend_recs:
             results = []
             for slice_count, (st, en, rows_idx) in enumerate(
@@ -510,14 +567,23 @@ def _demux_using_kit_streaming(
             seg_len_l = seg_len.tolist()
             win_l = win.tolist()
             passed_l = passed.tolist()
+            # batch-level Python lists: per-read numpy slicing in the
+            # flush path was ~10us/read of pure overhead on the 1-core
+            # host (profiled bench_r05/profile_kit.txt)
+            tcols = table.cols
+            rsf_l = tcols["rsf"].tolist()
+            ref_l = tcols["ref"].tolist()
+            tlabels = table.labels
+            rowlab_l = [tlabels[k] for k in tcols["label"].tolist()]
             for i, rid in enumerate(ids):
                 progress.inc(TOTAL)
                 l = seg_len_l[i]
                 if l:
                     s = seg_start_l[i]
+                    e = s + l
                     member = (
                         table, s, l, slabels[i], win_l[i], passed_l[i],
-                        lines[s : s + l],
+                        lines[s:e], rsf_l[s:e], ref_l[s:e], rowlab_l[s:e],
                     )
                     if rid != pend_id:
                         flush_run()
@@ -541,8 +607,10 @@ def _demux_using_kit_streaming(
                     )
                     flush_run()
                     pend_id, pend_members, pend_recs = None, [], []
+            drain_bufs()
             progress.refresh()
         flush_run()
+        drain_bufs()
         anno_writer.finish()
         filt_writer.finish()
     finally:

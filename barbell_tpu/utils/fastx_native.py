@@ -90,14 +90,11 @@ class NativeFastqWriter:
             raise OSError(f"Failed to create output file '{path}'")
 
     def write_record(self, header: bytes, seq: bytes, qual: bytes) -> None:
+        # one C-level format + append instead of seven bytearray
+        # appends (~3us/record on the 1-core bench host, and the trim
+        # path writes one call per output record)
         b = self._buf
-        b += b"@"
-        b += header
-        b += b"\n"
-        b += seq
-        b += b"\n+\n"
-        b += qual
-        b += b"\n"
+        b += b"@%b\n%b\n+\n%b\n" % (header, seq, qual)
         if len(b) >= self._FLUSH_AT:
             self.flush()
 

@@ -201,6 +201,7 @@ def run_kit_pipeline_bench():
     warmup_s = time.perf_counter() - t0
     print(f"# kit warmup batch (cold load): {warmup_s:.1f}s", file=sys.stderr)
     del wengine
+    measure_wire()  # compile the probe's executables off the clock
     d = tempfile.mkdtemp(prefix="bench_kit_")
     try:
         fq = os.path.join(d, "reads.fastq")
@@ -209,20 +210,38 @@ def run_kit_pipeline_bench():
                 s = seq.decode()
                 fh.write(f"@{rid}\n{s}\n+\n{'I' * len(s)}\n")
         truth = {r[0]: r[2] for r in reads}
-        out = os.path.join(d, "out")
         # BENCH_KIT_STREAM=0 measures the staged four-pass runner (what
         # BENCH_extra_r02.json recorded before the fused runner became
         # the default) — keep runner shape out of cross-round deltas.
         stream = os.environ.get("BENCH_KIT_STREAM", "1") != "0"
-        t0 = time.perf_counter()
-        demux_using_kit(
-            [fq],
-            KitRunConfig(
-                kit_name="SQK-NBD114-96", output_folder=out, maximize=True,
-                batch_size=BATCH, stream=stream,
-            ),
-        )
-        dt = time.perf_counter() - t0
+        # Median of REPEAT full-pipeline passes (the shared chip/tunnel
+        # varies by the hour; a single-pass kit figure confounded runner
+        # changes with bandwidth weather through round 4), each with a
+        # wire probe recorded next to it.
+        pass_times = []
+        pass_wire = []
+        out = None
+        for rep in range(REPEAT):
+            up_mbps, down_mbps = measure_wire()
+            pass_wire.append((round(up_mbps, 1), round(down_mbps, 1)))
+            out = os.path.join(d, f"out{rep}")
+            t0 = time.perf_counter()
+            demux_using_kit(
+                [fq],
+                KitRunConfig(
+                    kit_name="SQK-NBD114-96", output_folder=out,
+                    maximize=True, batch_size=BATCH, stream=stream,
+                ),
+            )
+            dt = time.perf_counter() - t0
+            pass_times.append(dt)
+            print(
+                f"# kit pass {rep}: {len(reads)} reads in {dt:.1f}s "
+                f"({len(reads) / dt:.0f} reads/s); wire {up_mbps:.1f}/"
+                f"{down_mbps:.1f} MB/s",
+                file=sys.stderr,
+            )
+        dt = float(np.median(pass_times))
         assigned = assignments_from_trimmed(out)
         n_assigned = 0
         n_correct = 0
@@ -236,10 +255,10 @@ def run_kit_pipeline_bench():
             if truth[rid] == label.split("_")[0]:
                 n_correct += 1
         print(
-            f"# kit pipeline: {len(reads)} reads in {dt:.1f}s "
-            f"(cold load absorbed by warmup: {warmup_s:.1f}s); assigned "
-            f"{n_assigned / len(reads):.3f}, correct-of-assigned "
-            f"{n_correct / max(1, n_assigned):.3f}",
+            f"# kit pipeline median of {REPEAT}: {len(reads)} reads in "
+            f"{dt:.1f}s (cold load absorbed by warmup: {warmup_s:.1f}s); "
+            f"assigned {n_assigned / len(reads):.3f}, "
+            f"correct-of-assigned {n_correct / max(1, n_assigned):.3f}",
             file=sys.stderr,
         )
         print(
@@ -250,6 +269,8 @@ def run_kit_pipeline_bench():
                     "unit": "reads/s",
                     "runner": "streamed" if stream else "staged",
                     "warmup_s": round(warmup_s, 1),
+                    "pass_times_s": [round(t, 2) for t in pass_times],
+                    "pass_wire_mbps": pass_wire,
                     "assigned_frac": round(n_assigned / len(reads), 4),
                     "accuracy_of_assigned": round(
                         n_correct / max(1, n_assigned), 4

@@ -127,6 +127,19 @@ def build_engines():
                 f"two_tier_{plan.shallow[0]}", BATCH, None,
             ),
         )
+    elif MODE == "tt_batch":
+        # batch 2048 vs 4096 under the round-5 two-tier engine: pass
+        # times shrank ~4x since the round-3 batch A/B (dead heat on
+        # the full scan), so per-batch fixed costs weigh more now
+        from barbell_tpu.models.twotier import make_ends_engine
+
+        plan = _preset_plan(groups)
+        eng = make_ends_engine(groups, plan)
+        bb = int(os.environ.get("AB_BATCH_B", "4096"))
+        arms = (
+            (eng, f"tt_batch_{BATCH}", BATCH, None),
+            (eng, f"tt_batch_{bb}", bb, None),
+        )
     elif MODE == "align2":
         # 32 vs 64 under the round-5 two-tier shallow config (ends rows
         # are exactly 128B of content at W1=512, so alignment should
