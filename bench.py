@@ -45,7 +45,11 @@ ANCHOR_THREADS = 10  # the reference CLI's default -t
 FALLBACK_ANCHOR = 20_000.0  # only if the native extension is missing
 
 CONFIG = os.environ.get("BENCH_CONFIG", "rbk114_96")
-N_READS = int(os.environ.get("BENCH_READS", "16384"))
+# 32768 reads/pass (16 batches): an 8-batch pass is ~45% pipeline
+# ramp (fill/drain of the 8-deep batch pipeline) and understated
+# steady-state throughput by ~20% — measured 48.7k at 16384 vs 57.6k
+# at 32768 in the same hour (bench_r05/rbk114_96_32k.json).
+N_READS = int(os.environ.get("BENCH_READS", "32768"))
 BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))
 
