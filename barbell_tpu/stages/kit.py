@@ -336,7 +336,7 @@ def _demux_using_kit_streaming(
     from ..models.barcodes import BarcodeGroup
     from ..models.hittable import emit_tsv_lines
     from ..models.pipeline import engine_map_batches
-    from ..models.records import AnnotationWriter, CutDirection
+    from ..models.records import AnnotationWriter
     from ..utils.fastx import split_fastq_header, validate_fastq_paths
     from ..utils.fastx_native import iter_fastq_batches_auto
     from ..utils.progress import TRIM_METRICS, ProgressTracker
@@ -347,6 +347,7 @@ def _demux_using_kit_streaming(
         CompiledPatterns,
         StructureLabeler,
         TableAdapter,
+        batch_trim_plan,
         cut_strings,
         kit_slice_label,
         matches_for_rows,
@@ -483,7 +484,7 @@ def _demux_using_kit_streaming(
                 )
             return
         (table, s, l, label, win, passed, lines, rsf, ref_,
-         row_labels) = pend_members[0]
+         row_labels, trim) = pend_members[0]
         ppr_buf.append(f"{pend_id}\t{label}\n")
         pattern_count[label] += 1
         if not passed:
@@ -493,41 +494,12 @@ def _demux_using_kit_streaming(
         if cstrs is None:
             cstrs = cut_str_cache[(win, l)] = cut_strings(cuts, l)
         filt_buf.extend(line + cs for line, cs in zip(lines, cstrs))
-        # Fast path for the preset shape (every built-in preset): one
-        # cut group of <= 2 cuts — the slice bounds come straight from
-        # the cut rows, no grouping/sorting (trim_slices) per record.
-        # Mixed-group/3+-cut patterns (custom files) take the general
-        # helper; identical output either way (tests/test_stages.py).
-        n_cuts = len(cuts)
-        simple2 = (
-            n_cuts == 2 and cuts[0][1].group_id == cuts[1][1].group_id
-        )
-        if simple2 or n_cuts == 1:
-            i1, c1 = cuts[0]
-            if simple2:
-                i2, c2 = cuts[1]
-                st = (
-                    rsf[i1]
-                    if c1.direction == CutDirection.Before
-                    else ref_[i1]
-                )
-                en = (
-                    rsf[i2]
-                    if c2.direction == CutDirection.Before
-                    else ref_[i2]
-                )
-                lab = kit_slice_label([i1, i2], row_labels)
-                en_is_len = False
-            elif c1.direction == CutDirection.Before:
-                st, en = 0, rsf[i1]
-                lab = kit_slice_label([i1], row_labels)
-                en_is_len = False
-            else:
-                st, en = ref_[i1], None  # extends to each record's end
-                lab = kit_slice_label([i1], row_labels)
-                en_is_len = True
+        if trim is not None:
+            # preset cut shape: bounds/label precomputed vectorized for
+            # the whole batch (batch_trim_plan); en -1 = to record end
+            st, en, lab = trim
             for desc, seq, qual in pend_recs:
-                e = len(seq) if en_is_len else en
+                e = len(seq) if en < 0 else en
                 if st >= e:
                     write_trimmed([], desc)
                 else:
@@ -575,15 +547,22 @@ def _demux_using_kit_streaming(
             ref_l = tcols["ref"].tolist()
             tlabels = table.labels
             rowlab_l = [tlabels[k] for k in tcols["label"].tolist()]
+            tplan = batch_trim_plan(cpats, table, seg_start, win, passed)
+            progress.add(TOTAL, len(ids))
             for i, rid in enumerate(ids):
-                progress.inc(TOTAL)
                 l = seg_len_l[i]
                 if l:
                     s = seg_start_l[i]
                     e = s + l
+                    trim = (
+                        (tplan[1][i], tplan[2][i], tplan[3][i])
+                        if tplan is not None and tplan[0][i]
+                        else None
+                    )
                     member = (
                         table, s, l, slabels[i], win_l[i], passed_l[i],
                         lines[s:e], rsf_l[s:e], ref_l[s:e], rowlab_l[s:e],
+                        trim,
                     )
                     if rid != pend_id:
                         flush_run()

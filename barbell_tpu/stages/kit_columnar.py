@@ -290,6 +290,70 @@ def trim_slices(
     return slices
 
 
+def batch_trim_plan(
+    cpats: "CompiledPatterns",
+    table: HitTable,
+    seg_start: np.ndarray,
+    win: np.ndarray,
+    passed: np.ndarray,
+):
+    """Vectorized trim bounds for every passing read whose winning
+    pattern has the preset cut shape (one group, <= 2 cuts — every
+    built-in preset): returns (simple, st, en, lab) arrays or None when
+    no read qualifies.  ``en == -1`` means "to each record's end";
+    ``lab`` holds the ready label string per read.  Semantics equal
+    trim_slices + kit_slice_label row for row (the runner's general
+    path handles everything else)."""
+    B = len(passed)
+    if not passed.any():
+        return None
+    labels = table.labels
+    flank_lab = np.array(["flank" in lab for lab in labels])
+    lab_code = table.cols["label"]
+    rsf = table.cols["rsf"]
+    ref_ = table.cols["ref"]
+    simple = np.zeros(B, dtype=bool)
+    st = np.zeros(B, dtype=np.int64)
+    en = np.full(B, -1, dtype=np.int64)
+    lab_idx = np.zeros(B, dtype=np.int64)
+    for pi, cuts in enumerate(cpats.cuts):
+        if not 1 <= len(cuts) <= 2:
+            continue
+        if len(cuts) == 2 and cuts[0][1].group_id != cuts[1][1].group_id:
+            continue
+        sel = np.nonzero(passed & (win == pi))[0]
+        if sel.size == 0:
+            continue
+        i1, c1 = cuts[0]
+        r1 = seg_start[sel] + i1
+        before1 = c1.direction == CutDirection.Before
+        if len(cuts) == 2:
+            i2, c2 = cuts[1]
+            r2 = seg_start[sel] + i2
+            st[sel] = np.where(before1, rsf[r1], ref_[r1])
+            en[sel] = np.where(
+                c2.direction == CutDirection.Before, rsf[r2], ref_[r2]
+            )
+            l1 = lab_code[r1]
+            lab_idx[sel] = np.where(flank_lab[l1], lab_code[r2], l1)
+        elif before1:
+            st[sel] = 0
+            en[sel] = rsf[r1]
+            lab_idx[sel] = lab_code[r1]
+        else:
+            st[sel] = ref_[r1]
+            en[sel] = -1
+            lab_idx[sel] = lab_code[r1]
+        simple[sel] = True
+    if not simple.any():
+        return None
+    lab = [
+        ("none" if flank_lab[k] else labels[k]) if ok else ""
+        for ok, k in zip(simple.tolist(), lab_idx.tolist())
+    ]
+    return simple.tolist(), st.tolist(), en.tolist(), lab
+
+
 def matches_for_rows(table: HitTable, s: int, l: int):
     """``BarbellMatch`` objects for rows [s, s+l) — one read's rows
     (the duplicate-id fallback path materializes only what it needs

@@ -487,6 +487,16 @@ def main():
     make = cfg["make"]
     warm = make(BATCH, seed=99)
     engine.demux_batch([r[0] for r in warm], [r[1] for r in warm])
+    if plan is None:
+        # Full-scan configs: sim reads top out a hair under the 4096
+        # row width, but insertions push the occasional read past it —
+        # the first batch containing one compiles the chunk-row shape
+        # MID-PASS (a multi-minute server-side executable load; both
+        # round-5 extended captures ate it in pass 0).  Warm that shape
+        # deterministically with one oversized read.
+        wseqs = [r[1] for r in warm[: BATCH - 1]]
+        wseqs.append((warm[0][1] * 3)[:6000])
+        engine.demux_batch([f"w{i}" for i in range(len(wseqs))], wseqs)
     if hasattr(engine, "warm_deep"):
         # compile the rescue tier's shapes outside the timed passes
         t0 = time.perf_counter()

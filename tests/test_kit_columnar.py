@@ -19,6 +19,7 @@ from barbell_tpu.stages.inspect import get_group_structure
 from barbell_tpu.stages.kit_columnar import (
     CompiledPatterns,
     StructureLabeler,
+    batch_trim_plan,
     cut_strings,
     kit_slice_label,
     matches_for_rows,
@@ -180,3 +181,46 @@ def test_trim_slices_and_labels_match_object_path():
             assert got == want_cmp, (trial, int(r))
             checked += 1
     assert checked > 30  # the fuzz really produced passing reads
+
+
+def test_batch_trim_plan_matches_general_path():
+    """The vectorized preset-shape trim plan equals trim_slices +
+    kit_slice_label for every read it claims (simple=True), and only
+    skips reads whose winning pattern is outside the preset shape."""
+    rng = random.Random(7)
+    cpats = CompiledPatterns(PATTERNS, LABELS)
+    planned = 0
+    for trial in range(8):
+        table = _rand_table(rng, 60)
+        seg_start, seg_len = segment_table(table)
+        win, passed = cpats.match(table, seg_start, seg_len)
+        tplan = batch_trim_plan(cpats, table, seg_start, win, passed)
+        c = table.cols
+        for r in np.nonzero(passed)[0]:
+            cuts = cpats.cuts[int(win[r])]
+            shape_ok = 1 <= len(cuts) <= 2 and (
+                len(cuts) == 1
+                or cuts[0][1].group_id == cuts[1][1].group_id
+            )
+            simple = bool(tplan and tplan[0][r])
+            assert simple == shape_ok, (trial, int(r))
+            if not simple:
+                continue
+            planned += 1
+            s, l = int(seg_start[r]), int(seg_len[r])
+            rsf = c["rsf"][s : s + l].tolist()
+            ref_ = c["ref"][s : s + l].tolist()
+            row_labels = [
+                table.labels[k] for k in c["label"][s : s + l].tolist()
+            ]
+            n = int(table.read_lens[r])
+            st, en, lab = tplan[1][r], tplan[2][r], tplan[3][r]
+            e = n if en < 0 else en
+            want = [
+                (ws, we, kit_slice_label(rows_idx, row_labels))
+                for ws, we, rows_idx in trim_slices(cuts, rsf, ref_, n)
+                if ws < we
+            ]
+            got = [(st, e, lab)] if st < e else []
+            assert got == want, (trial, int(r), got, want)
+    assert planned > 40
