@@ -227,6 +227,44 @@ def test_band_junk_without_trigger_is_documented_deviation():
     _assert_tables_equal(t, shallow.demux_batch_table(["b"], [seq]))
 
 
+def test_twotier_through_engine_map_batches():
+    """The production driver (engine_map_batches) runs batches on
+    worker threads; a mixed stream of plain and trigger reads through
+    the two-tier engine must equal the full scan read for read and
+    count every rescue."""
+    from barbell_tpu.models.pipeline import engine_map_batches
+
+    rng = random.Random(9)
+    groups = _groups()
+    bcs = default_barcodes(96)
+    ids, seqs = [], []
+    for i in range(24):
+        if i % 6 == 5:
+            seqs.append(_chain_read(rng, bcs, 200, 220, 1500, False))
+        else:
+            label, bseq = bcs[rng.randrange(96)]
+            s = rapid_adapter(bseq) + bytes(
+                random_sequence(rng, rng.randrange(900, 2600))
+            )
+            seqs.append(mutate_sequence(rng, s, 0, 5))
+        ids.append(f"t{i}")
+    tt = TwoTierDemuxEngine(groups, PLAN, devices=_cpu1())
+    full = JaxDemuxEngine(groups, devices=_cpu1())
+
+    def batches():
+        for i in range(0, len(ids), 6):
+            yield ids[i : i + 6], seqs[i : i + 6]
+
+    got = {}
+    for bids, _bs, out in engine_map_batches(tt, batches(), depth=3):
+        for rid, rows in zip(bids, out):
+            got[rid] = [m.to_tsv_row() for m in rows]
+    want_tbl = full.demux_batch(ids, seqs)
+    for rid, rows in zip(ids, want_tbl):
+        assert got[rid] == [m.to_tsv_row() for m in rows], rid
+    assert tt.total_rescued == 4  # every planted chain read rescued
+
+
 def test_make_ends_engine_and_object_api():
     groups = _groups()
     assert isinstance(
