@@ -143,7 +143,7 @@ def _pow2_at_least(x: int, lo: int = 8) -> int:
 
 def _retry_cap(total: int, h_cap: int) -> int:
     """Overflow-retry hit capacity: the measured total + 12.5% slack at
-    a 256-granule (strand-split rank needs %% 256 == 0), strictly above
+    a 256-granule (strand-split rank needs % 256 == 0), strictly above
     the failed cap.  The old rule doubled to the next pow2 >= 2*H_cap,
     which left NBD fetching a ~2x-oversized record buffer forever via
     the sticky hint."""
@@ -1536,7 +1536,7 @@ class JaxDemuxEngine:
         lane/row, ~2/read — the round-1 heuristic).  Ends mode: raw hit
         density is per READ (~1.1/read for single-end kits), so lanes
         start at 1.25/read (+2 per chunk row), rounded to a 256-granule
-        (the strand-split rank kernel needs H_cap %% 256 == 0) — the
+        (the strand-split rank kernel needs H_cap % 256 == 0) — the
         packed hit records dominate the fetch on the ~30MB/s tunnel.
         Hit-dense workloads (NBD ~2/read) overflow ONCE and the sticky
         hint holds the measured cap for the rest of the process (the

@@ -413,12 +413,13 @@ def _demux_using_kit_streaming(
         writers = _WriterPool(out, config.gzip)
 
     # One run in flight.  members holds per member read-with-rows a
-    # (table, seg_start, seg_len, label, win, passed, lines) context;
-    # recs the run's FASTQ records (including same-id records that
-    # contributed no rows — the staged trim's id map hands those the
-    # run's annotations too).  Single-member runs (unique read ids —
-    # every well-formed input) flush columnar; multi-member runs merge
-    # rows and fall back to the object path.
+    # (table, seg_start, seg_len, label, win, passed, lines, rsf, ref,
+    # row_labels, trim_plan) context; recs the run's FASTQ records
+    # (including same-id records that contributed no rows — the staged
+    # trim's id map hands those the run's annotations too).
+    # Single-member runs (unique read ids — every well-formed input)
+    # flush columnar; multi-member runs merge rows and fall back to
+    # the object path.
     pend_id: Optional[str] = None
     pend_members: list = []
     pend_recs: list = []
