@@ -265,6 +265,67 @@ def test_twotier_through_engine_map_batches():
     assert tt.total_rescued == 4  # every planted chain read rescued
 
 
+def test_kit_two_tier_rescue_matches_full_scan(tmp_path):
+    """End-to-end kit runner: a --maximize RBK run whose input plants
+    chain-boundary reads (the two-tier rescue's reason to exist) writes
+    byte-identical stage files + FASTQs to --full-scan."""
+    import os
+
+    from barbell_tpu.stages.kit import KitRunConfig, demux_using_kit
+
+    rng = random.Random(31)
+    bcs = default_barcodes(8)
+    recs = []
+    for i in range(10):
+        label, bseq = bcs[rng.randrange(8)]
+        if i % 3 == 0:
+            # chained double construct straddling the shallow claim
+            ad = rapid_adapter(bseq)
+            seq = (
+                bytes(random_sequence(rng, 150 + 20 * i))
+                + ad
+                + bytes(random_sequence(rng, 200))
+                + ad
+                + bytes(random_sequence(rng, 1500))
+            )
+        else:
+            seq = rapid_adapter(bseq) + bytes(
+                random_sequence(rng, rng.randrange(800, 2500))
+            )
+            if rng.random() < 0.5:
+                seq = dna.reverse_complement_bytes(seq)
+            seq = mutate_sequence(rng, seq, 0, 4)
+        recs.append((f"k{i}", seq))
+    fq = tmp_path / "reads.fastq"
+    with open(fq, "w") as fh:
+        for rid, seq in recs:
+            s = seq.decode()
+            fh.write(f"@{rid}\n{s}\n+\n{'I' * len(s)}\n")
+
+    blobs = {}
+    for mode, full_scan in (("ends", False), ("full", True)):
+        out_dir = tmp_path / mode
+        demux_using_kit(
+            [str(fq)],
+            KitRunConfig(
+                kit_name="SQK-RBK114-96",
+                output_folder=str(out_dir),
+                backend="jax",
+                batch_size=5,
+                maximize=True,
+                full_scan=full_scan,
+            ),
+        )
+        blobs[mode] = {
+            f: (out_dir / f).read_bytes()
+            for f in sorted(os.listdir(out_dir))
+        }
+    assert sorted(blobs["ends"]) == sorted(blobs["full"])
+    for name in blobs["full"]:
+        assert blobs["ends"][name] == blobs["full"][name], name
+    assert any(n.endswith(".trimmed.fastq") for n in blobs["full"])
+
+
 def test_make_ends_engine_and_object_api():
     groups = _groups()
     assert isinstance(
